@@ -8,7 +8,10 @@ before the first ``import jax`` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment preselects a TPU platform (e.g.
+# JAX_PLATFORMS=axon); set VIT_TESTS_ON_TPU=1 to run the suite on hardware.
+if not os.environ.get("VIT_TESTS_ON_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

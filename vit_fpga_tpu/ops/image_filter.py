@@ -77,7 +77,9 @@ def _filter_kernel(in_ref, out_ref, *, taps, n_tiles, w_out):
     """
     for i in range(n_tiles):
         r0 = i * _ROW_TILE
-        block = in_ref[r0:r0 + _ROW_TILE + 2, :].astype(jnp.float32)
+        # Mosaic has no direct uint8->f32 cast; hop through int32.
+        block = in_ref[r0:r0 + _ROW_TILE + 2, :].astype(jnp.int32).astype(
+            jnp.float32)
         acc = jnp.zeros((_ROW_TILE, w_out), dtype=jnp.float32)
         for dy in range(3):
             for dx in range(3):
@@ -85,7 +87,7 @@ def _filter_kernel(in_ref, out_ref, *, taps, n_tiles, w_out):
                 if t != 0.0:
                     acc = acc + t * block[dy:dy + _ROW_TILE, dx:dx + w_out]
         out_ref[r0:r0 + _ROW_TILE, :] = jnp.clip(
-            jnp.round(acc), 0, 255).astype(jnp.uint8)
+            jnp.round(acc), 0, 255).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("name",))
@@ -106,11 +108,11 @@ def filter_image_pallas(img: jax.Array, name: str) -> jax.Array:
         functools.partial(_filter_kernel, taps=taps, n_tiles=n_tiles,
                           w_out=w_out),
         out_shape=jax.ShapeDtypeStruct((n_tiles * _ROW_TILE, w_out),
-                                       jnp.uint8),
+                                       jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(padded)
-    return out[:h, :w]
+    return out[:h, :w].astype(jnp.uint8)
 
 
 def filter_image_device(img: jax.Array, name: str,
