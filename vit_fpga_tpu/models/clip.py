@@ -1,0 +1,175 @@
+"""CLIP image encoder — BASELINE config 5's model family.
+
+A CLIP vision tower (ViT-L/14-style) reusing the shared transformer block
+from :mod:`vit_fpga_tpu.models.vit`, with CLIP's structural deltas:
+
+  * patch embedding without bias, a learned class embedding
+  * an extra LayerNorm BEFORE the encoder (``ln_pre``) and one after
+    (``ln_post``) applied to the pooled CLS token
+  * quick-GELU activation (OpenAI checkpoints)
+  * a final linear projection (no bias) into the shared image/text
+    embedding space
+
+The HF importer maps ``CLIPVisionModel``/``CLIPModel`` checkpoints into
+this layout, so published openai/clip-vit-* weights run unmodified.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import vit as vit_mod
+
+Params = Dict[str, Any]
+
+
+def clip_vision_config(variant: str = "vit_l14", image_size: int = 224,
+                       **overrides) -> vit_mod.ViTConfig:
+    """A ViTConfig tuned to CLIP semantics (quick-GELU, eps 1e-5)."""
+    defaults = dict(hidden_act="quick_gelu", ln_eps=1e-5,
+                    mean=vit_mod.CLIP_MEAN, std=vit_mod.CLIP_STD,
+                    num_classes=0)
+    defaults.update(overrides)
+    return vit_mod.config(variant, image_size=image_size, **defaults)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPHead:
+    """Projection geometry (embed dim of the shared space)."""
+    projection_dim: int = 768
+
+
+def init_params(key: jax.Array, cfg: vit_mod.ViTConfig,
+                projection_dim: int = 768) -> Params:
+    base = vit_mod.init_params(key, dataclasses.replace(cfg, num_classes=1))
+    del base["head"]
+    d = cfg.hidden_dim
+    k1, k2 = jax.random.split(key)
+    base["ln_pre_scale"] = jnp.ones((d,), jnp.float32)
+    base["ln_pre_bias"] = jnp.zeros((d,), jnp.float32)
+    base["proj"] = (0.02 * jax.random.truncated_normal(
+        k2, -2.0, 2.0, (d, projection_dim))).astype(jnp.float32)
+    return base
+
+
+def forward(params: Params, images: jax.Array,
+            cfg: vit_mod.ViTConfig) -> jax.Array:
+    """Normalized images (B, S, S, 3) -> image embeddings
+    (B, projection_dim) (unnormalized; callers L2-normalize for cosine
+    similarity, as CLIP does)."""
+    with vit_mod._precision_ctx(cfg):
+        dt = cfg.compute_dtype
+        x = vit_mod.patchify(images.astype(dt), cfg.patch_size)
+        x = x @ params["patch_embed"]["kernel"].astype(dt)
+        x = x + params["patch_embed"]["bias"].astype(dt)
+        b = x.shape[0]
+        cls = jnp.broadcast_to(params["cls_token"].astype(dt),
+                               (b, 1, cfg.hidden_dim))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + params["pos_embed"].astype(dt)
+        x = vit_mod._layernorm(x, params["ln_pre_scale"],
+                               params["ln_pre_bias"], cfg.ln_eps)
+
+        block_fn = partial(vit_mod._block, cfg=cfg)
+        if cfg.remat:
+            block_fn = jax.checkpoint(block_fn)
+
+        def step(carry, blk):
+            return block_fn(carry, blk), None
+
+        x, _ = jax.lax.scan(step, x, params["blocks"])
+        pooled = vit_mod._layernorm(x[:, 0], params["ln_f_scale"],
+                                    params["ln_f_bias"], cfg.ln_eps)
+        return pooled.astype(jnp.float32) @ params["proj"]
+
+
+def forward_raw(params: Params, images_u8: jax.Array,
+                cfg: vit_mod.ViTConfig) -> jax.Array:
+    """Raw uint8 -> embeddings, one XLA program (decode happens host-side;
+    resize/normalize/patchify fuse on device — BASELINE config 5)."""
+    return forward(params, vit_mod.preprocess(images_u8, cfg), cfg)
+
+
+def jit_forward(cfg: vit_mod.ViTConfig, raw: bool = False):
+    fn = forward_raw if raw else forward
+    return jax.jit(partial(fn, cfg=cfg))
+
+
+def embed_normalized(params: Params, images: jax.Array,
+                     cfg: vit_mod.ViTConfig) -> jax.Array:
+    """L2-normalized embeddings (cosine-ready)."""
+    e = forward(params, images, cfg)
+    return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# HuggingFace import (CLIPVisionModel / CLIPModel)
+# ---------------------------------------------------------------------------
+
+def from_hf_clip_state_dict(sd: Mapping[str, np.ndarray], depth: int,
+                            prefix: str = "vision_model.") -> Params:
+    g = lambda n: np.asarray(sd[n], dtype=np.float32)  # noqa: E731
+    t = np.transpose
+
+    conv_w = g(f"{prefix}embeddings.patch_embedding.weight")  # (D,3,P,P)
+    d_model = conv_w.shape[0]
+
+    def stack(fmt, transform=None):
+        return np.stack([
+            (transform(g(fmt.format(i=i))) if transform
+             else g(fmt.format(i=i))) for i in range(depth)])
+
+    lyr = f"{prefix}encoder.layers.{{i}}."
+    wq = stack(lyr + "self_attn.q_proj.weight", t)
+    wk = stack(lyr + "self_attn.k_proj.weight", t)
+    wv = stack(lyr + "self_attn.v_proj.weight", t)
+    bq = stack(lyr + "self_attn.q_proj.bias")
+    bk = stack(lyr + "self_attn.k_proj.bias")
+    bv = stack(lyr + "self_attn.v_proj.bias")
+
+    params: Params = {
+        "patch_embed": {
+            "kernel": conv_w.transpose(2, 3, 1, 0).reshape(-1, d_model),
+            "bias": np.zeros((d_model,), np.float32),  # CLIP conv: no bias
+        },
+        "cls_token": g(f"{prefix}embeddings.class_embedding").reshape(
+            1, 1, d_model),
+        "pos_embed": g(f"{prefix}embeddings.position_embedding.weight")[
+            None, :, :],
+        "ln_pre_scale": g(f"{prefix}pre_layrnorm.weight"),
+        "ln_pre_bias": g(f"{prefix}pre_layrnorm.bias"),
+        "blocks": {
+            "ln1_scale": stack(lyr + "layer_norm1.weight"),
+            "ln1_bias": stack(lyr + "layer_norm1.bias"),
+            "wqkv": np.concatenate([wq, wk, wv], axis=2),
+            "bqkv": np.concatenate([bq, bk, bv], axis=1),
+            "wo": stack(lyr + "self_attn.out_proj.weight", t),
+            "bo": stack(lyr + "self_attn.out_proj.bias"),
+            "ln2_scale": stack(lyr + "layer_norm2.weight"),
+            "ln2_bias": stack(lyr + "layer_norm2.bias"),
+            "w1": stack(lyr + "mlp.fc1.weight", t),
+            "b1": stack(lyr + "mlp.fc1.bias"),
+            "w2": stack(lyr + "mlp.fc2.weight", t),
+            "b2": stack(lyr + "mlp.fc2.bias"),
+        },
+        "ln_f_scale": g(f"{prefix}post_layernorm.weight"),
+        "ln_f_bias": g(f"{prefix}post_layernorm.bias"),
+    }
+    if "visual_projection.weight" in sd:
+        params["proj"] = g("visual_projection.weight").T
+    else:
+        params["proj"] = np.eye(d_model, dtype=np.float32)
+    return params
+
+
+def from_hf_clip_model(model) -> Params:
+    """Convert a live ``transformers`` CLIPModel or CLIPVisionModel."""
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    cfg = getattr(model.config, "vision_config", model.config)
+    return from_hf_clip_state_dict(sd, depth=cfg.num_hidden_layers)

@@ -1,0 +1,172 @@
+"""Int8-quantized model forwards — BASELINE config 3.
+
+Mirrors the reference's fixed-point datapath with a parity contract: the
+dense (MLP) int8 path is BIT-EXACT between the numpy oracle and the
+JAX/Pallas device path (int32 accumulation is exact everywhere; scales are
+computed once on the host and shared).  The ViT int8 path quantizes every
+linear (patch embed, QKV, attention out, MLP, head) per-tensor with dynamic
+per-tensor activation quantization; LayerNorm/softmax/GELU stay f32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import activations as act
+from ..defines import NetData
+from ..ops import quant
+from ..ops.attention import mha
+from . import vit as vit_mod
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Dense (MLP) family — bit-exact parity contract
+# ---------------------------------------------------------------------------
+
+def quantize_mlp(data: NetData) -> Params:
+    """Quantize reference-layout weights to int8 per-tensor (host-side,
+    shared verbatim by oracle and device paths)."""
+    data.validate()
+    layers: List[Dict[str, Any]] = []
+    for w, b in zip(data.params, data.bias):
+        wq, sw = quant.quantize_numpy(np.ascontiguousarray(w.T))
+        layers.append({"wq": wq, "sw": sw,
+                       "b": np.asarray(b, np.float32)})
+    return {"layers": layers, "acts": tuple(int(a) for a in
+                                            data.activations)}
+
+
+def mlp_forward_int8_numpy(qparams: Params, x: np.ndarray) -> np.ndarray:
+    """Oracle int8 forward: dynamic per-tensor activation quantization."""
+    h = np.asarray(x, np.float32)
+    for layer, code in zip(qparams["layers"], qparams["acts"]):
+        hq, sx = quant.quantize_numpy(h)
+        h = quant.int8_linear_numpy(hq, sx, layer["wq"], layer["sw"],
+                                    layer["b"])
+        h = act.apply_numpy(code, h).astype(np.float32)
+    return h
+
+
+def mlp_forward_int8(qparams_dev: Params, x: jax.Array,
+                     acts: Tuple[int, ...], impl: str = "auto") -> jax.Array:
+    """Device int8 forward; semantics identical to the numpy oracle."""
+    h = x.astype(jnp.float32)
+    for layer in qparams_dev["layers"]:
+        hq, sx = quant.quantize_jnp(h)
+        h = quant.int8_linear(hq, sx, layer["wq"], layer["sw"], layer["b"],
+                              impl=impl)
+        code = int(layer["act"])
+        h = act.apply_jnp(code, h).astype(jnp.float32)
+    return h
+
+
+def device_qparams(qparams: Params) -> Params:
+    """Host quantized params -> device arrays (act codes carried inline so
+    the pytree stays jit-friendly)."""
+    return {"layers": [
+        {"wq": jnp.asarray(l["wq"]), "sw": jnp.asarray(l["sw"]),
+         "b": jnp.asarray(l["b"]), "act": code}
+        for l, code in zip(qparams["layers"], qparams["acts"])]}
+
+
+# ---------------------------------------------------------------------------
+# ViT int8
+# ---------------------------------------------------------------------------
+
+_VIT_QUANT_KEYS = ("wqkv", "wo", "w1", "w2")
+
+
+def quantize_vit(params: Params) -> Params:
+    """Per-tensor int8 for every big linear; per-LAYER scales for the
+    stacked block weights (axis 0 is depth — each layer gets its own
+    scale, matching per-tensor semantics of an unstacked model)."""
+    out: Params = {
+        "patch_embed": _q_linear(params["patch_embed"]["kernel"],
+                                 params["patch_embed"]["bias"]),
+        "cls_token": jnp.asarray(params["cls_token"]),
+        "pos_embed": jnp.asarray(params["pos_embed"]),
+        "ln_f_scale": jnp.asarray(params["ln_f_scale"]),
+        "ln_f_bias": jnp.asarray(params["ln_f_bias"]),
+        "blocks": {},
+    }
+    blocks = params["blocks"]
+    for k in ("ln1_scale", "ln1_bias", "ln2_scale", "ln2_bias",
+              "bqkv", "bo", "b1", "b2"):
+        out["blocks"][k] = jnp.asarray(blocks[k])
+    for k in _VIT_QUANT_KEYS:
+        w = np.asarray(blocks[k], np.float32)
+        depth = w.shape[0]
+        qs = [quant.quantize_numpy(w[i]) for i in range(depth)]
+        out["blocks"][k + "_q"] = jnp.asarray(
+            np.stack([q for q, _ in qs]))
+        out["blocks"][k + "_s"] = jnp.asarray(
+            np.stack([s for _, s in qs]))
+    if "head" in params:
+        out["head"] = _q_linear(params["head"]["kernel"],
+                                params["head"]["bias"])
+    return out
+
+
+def _q_linear(kernel, bias) -> Params:
+    wq, sw = quant.quantize_numpy(np.asarray(kernel, np.float32))
+    return {"wq": jnp.asarray(wq), "sw": jnp.asarray(sw),
+            "b": jnp.asarray(np.asarray(bias, np.float32))}
+
+
+def _qlin(x: jax.Array, lin: Params, impl: str) -> jax.Array:
+    xq, sx = quant.quantize_jnp(x)
+    return quant.int8_linear(xq, sx, lin["wq"], lin["sw"], lin["b"],
+                             impl=impl)
+
+
+def _qblock(x, blk, cfg: vit_mod.ViTConfig, impl: str):
+    b, n, d = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    h = vit_mod._layernorm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
+    qkv = _qlin(h, {"wq": blk["wqkv_q"], "sw": blk["wqkv_s"],
+                    "b": blk["bqkv"]}, impl)
+    qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+    o = mha(qkv[0], qkv[1], qkv[2], impl=cfg.attn_impl)
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
+    x = x + _qlin(o, {"wq": blk["wo_q"], "sw": blk["wo_s"],
+                      "b": blk["bo"]}, impl)
+    h = vit_mod._layernorm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
+    h = _qlin(h, {"wq": blk["w1_q"], "sw": blk["w1_s"], "b": blk["b1"]},
+              impl)
+    h = vit_mod._hidden_act(h, cfg.hidden_act)
+    x = x + _qlin(h, {"wq": blk["w2_q"], "sw": blk["w2_s"], "b": blk["b2"]},
+                  impl)
+    return x
+
+
+def vit_forward_int8(qparams: Params, images: jax.Array,
+                     cfg: vit_mod.ViTConfig,
+                     impl: str = "auto") -> jax.Array:
+    """Int8 ViT forward: normalized images -> f32 logits."""
+    x = vit_mod.patchify(images.astype(jnp.float32), cfg.patch_size)
+    x = _qlin(x, qparams["patch_embed"], impl)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(qparams["cls_token"].astype(x.dtype),
+                           (b, 1, cfg.hidden_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + qparams["pos_embed"].astype(x.dtype)
+
+    def step(carry, blk):
+        return _qblock(carry, blk, cfg, impl), None
+
+    x, _ = jax.lax.scan(step, x, qparams["blocks"])
+    x = vit_mod._layernorm(x, qparams["ln_f_scale"], qparams["ln_f_bias"],
+                           cfg.ln_eps)
+    pooled = x[:, 0]
+    return _qlin(pooled, qparams["head"], impl)
+
+
+def jit_vit_forward_int8(cfg: vit_mod.ViTConfig, impl: str = "auto"):
+    return jax.jit(partial(vit_forward_int8, cfg=cfg, impl=impl))

@@ -1,0 +1,276 @@
+"""Vision Transformer family — the models the reference was built to serve.
+
+The reference repo advertises ViT ("VIT-FPGA") but ships only the host
+dispatch layer; the transformer blocks lived in missing FPGA bitstreams
+(SURVEY.md §0).  This module supplies the full model family, TPU-first:
+
+  * params are pytrees of stacked per-layer arrays; the encoder runs as one
+    ``lax.scan`` over depth (single trace, fast compiles, XLA pipelining)
+  * patch embedding is a reshape + one big GEMM (MXU-shaped), not a conv
+  * attention dispatches to the fused Pallas kernel on TPU
+    (:mod:`vit_fpga_tpu.ops.attention`)
+  * preprocessing (resize + scale + normalize + patchify) is in-graph, so
+    raw uint8 images -> logits is ONE jitted XLA program (BASELINE
+    north_star: "image-side preprocessing fuses into the first kernel")
+  * bf16 compute with f32 LayerNorm statistics and f32 logits
+
+Weight-layout conventions match ``utils/checkpoint.py``'s HuggingFace
+importer, so published ViT checkpoints load directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import mha
+
+Params = Dict[str, Any]
+
+# ImageNet normalization used by the original ViT / HF pipelines.
+IMAGENET_MEAN = (0.5, 0.5, 0.5)
+IMAGENET_STD = (0.5, 0.5, 0.5)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    num_classes: int = 1000
+    ln_eps: float = 1e-6
+    dtype: str = "bfloat16"          # compute dtype; params stay f32
+    attn_impl: str = "auto"          # auto | pallas | xla
+    pool: str = "cls"                # cls | gap
+    hidden_act: str = "gelu"         # gelu (erf) | gelu_tanh | quick_gelu
+    remat: bool = False              # jax.checkpoint each block (training)
+    mean: Tuple[float, ...] = IMAGENET_MEAN
+    std: Tuple[float, ...] = IMAGENET_STD
+
+    @property
+    def n_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.n_patches + 1  # + CLS
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+# Standard variants (Ti/S/B/L/H at the reference-relevant resolutions).
+VARIANTS: Dict[str, Dict[str, int]] = {
+    "vit_ti16": dict(patch_size=16, hidden_dim=192, depth=12, num_heads=3,
+                     mlp_dim=768),
+    "vit_s16": dict(patch_size=16, hidden_dim=384, depth=12, num_heads=6,
+                    mlp_dim=1536),
+    "vit_b16": dict(patch_size=16, hidden_dim=768, depth=12, num_heads=12,
+                    mlp_dim=3072),
+    "vit_b32": dict(patch_size=32, hidden_dim=768, depth=12, num_heads=12,
+                    mlp_dim=3072),
+    "vit_l16": dict(patch_size=16, hidden_dim=1024, depth=24, num_heads=16,
+                    mlp_dim=4096),
+    "vit_l14": dict(patch_size=14, hidden_dim=1024, depth=24, num_heads=16,
+                    mlp_dim=4096),
+    "vit_h14": dict(patch_size=14, hidden_dim=1280, depth=32, num_heads=16,
+                    mlp_dim=5120),
+}
+
+
+def config(variant: str, image_size: int = 224, **overrides) -> ViTConfig:
+    if variant not in VARIANTS:
+        raise ValueError(
+            f"unknown variant {variant!r}; have {sorted(VARIANTS)}")
+    return ViTConfig(image_size=image_size, **VARIANTS[variant], **overrides)
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def init_params(key: jax.Array, cfg: ViTConfig) -> Params:
+    """Truncated-normal ViT init; per-block arrays stacked on a leading
+    depth axis so the encoder can run under one ``lax.scan``."""
+    d, l, m = cfg.hidden_dim, cfg.depth, cfg.mlp_dim
+    p3 = cfg.patch_size * cfg.patch_size * 3
+    ks = jax.random.split(key, 8)
+
+    def tn(k, shape, std=0.02):
+        return (std * jax.random.truncated_normal(
+            k, -2.0, 2.0, shape)).astype(jnp.float32)
+
+    return {
+        "patch_embed": {"kernel": tn(ks[0], (p3, d)),
+                        "bias": jnp.zeros((d,), jnp.float32)},
+        "cls_token": jnp.zeros((1, 1, d), jnp.float32),
+        "pos_embed": tn(ks[1], (1, cfg.seq_len, d)),
+        "blocks": {
+            "ln1_scale": jnp.ones((l, d), jnp.float32),
+            "ln1_bias": jnp.zeros((l, d), jnp.float32),
+            "wqkv": tn(ks[2], (l, d, 3 * d)),
+            "bqkv": jnp.zeros((l, 3 * d), jnp.float32),
+            "wo": tn(ks[3], (l, d, d)),
+            "bo": jnp.zeros((l, d), jnp.float32),
+            "ln2_scale": jnp.ones((l, d), jnp.float32),
+            "ln2_bias": jnp.zeros((l, d), jnp.float32),
+            "w1": tn(ks[4], (l, d, m)),
+            "b1": jnp.zeros((l, m), jnp.float32),
+            "w2": tn(ks[5], (l, m, d)),
+            "b2": jnp.zeros((l, d), jnp.float32),
+        },
+        "ln_f_scale": jnp.ones((d,), jnp.float32),
+        "ln_f_bias": jnp.zeros((d,), jnp.float32),
+        "head": {"kernel": tn(ks[6], (d, cfg.num_classes)),
+                 "bias": jnp.zeros((cfg.num_classes,), jnp.float32)},
+    }
+
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layernorm(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def patchify(images: jax.Array, patch: int) -> jax.Array:
+    """(B, H, W, 3) -> (B, N, patch*patch*3), row-major patch grid, pixel
+    order (py, px, c) — one reshape/transpose, zero copies after fusion."""
+    b, h, w, c = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, gh * gw, patch * patch * c)
+
+
+def preprocess(images_u8: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """uint8 (B, h, w, 3) -> normalized compute-dtype (B, S, S, 3), in-graph
+    (resize + scale + normalize fuse into the first XLA program)."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    s = cfg.image_size
+    if images_u8.shape[1:3] != (s, s):
+        x = jax.image.resize(x, (x.shape[0], s, s, 3), method="bilinear")
+    x = (x - jnp.asarray(cfg.mean)) / jnp.asarray(cfg.std)
+    return x.astype(cfg.compute_dtype)
+
+
+def _block(x, blk, cfg: ViTConfig):
+    """One pre-LN transformer block. ``blk`` holds this layer's params."""
+    b, n, d = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    dt = cfg.compute_dtype
+
+    h = _layernorm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
+    qkv = h @ blk["wqkv"].astype(dt) + blk["bqkv"].astype(dt)
+    qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+    o = mha(qkv[0], qkv[1], qkv[2], impl=cfg.attn_impl)
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
+    x = x + (o @ blk["wo"].astype(dt) + blk["bo"].astype(dt))
+
+    h = _layernorm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
+    h = h @ blk["w1"].astype(dt) + blk["b1"].astype(dt)
+    h = _hidden_act(h, cfg.hidden_act)
+    x = x + (h @ blk["w2"].astype(dt) + blk["b2"].astype(dt))
+    return x
+
+
+def _hidden_act(x, name: str):
+    if name == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if name == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    if name == "quick_gelu":  # x * sigmoid(1.702 x) — OpenAI CLIP
+        return x * jax.nn.sigmoid(1.702 * x)
+    raise ValueError(f"unknown hidden_act {name!r}")
+
+
+def _precision_ctx(cfg: ViTConfig):
+    """f32 mode forces true-f32 matmuls (XLA's 'default' runs f32 matmuls
+    at reduced precision on TPU and some CPU builds); bf16 mode takes the
+    fast single-pass MXU route."""
+    return jax.default_matmul_precision(
+        "float32" if cfg.dtype == "float32" else "default")
+
+
+def forward_features(params: Params, images: jax.Array,
+                     cfg: ViTConfig) -> jax.Array:
+    """Normalized images (B, S, S, 3) -> final-LN token features
+    (B, N+1, D)."""
+    with _precision_ctx(cfg):
+        return _forward_features(params, images, cfg)
+
+
+def _forward_features(params: Params, images: jax.Array,
+                      cfg: ViTConfig) -> jax.Array:
+    dt = cfg.compute_dtype
+    x = patchify(images.astype(dt), cfg.patch_size)
+    x = x @ params["patch_embed"]["kernel"].astype(dt)
+    x = x + params["patch_embed"]["bias"].astype(dt)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(dt),
+                           (b, 1, cfg.hidden_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(dt)
+
+    block_fn = partial(_block, cfg=cfg)
+    if cfg.remat:
+        block_fn = jax.checkpoint(block_fn)
+
+    def step(carry, blk):
+        return block_fn(carry, blk), None
+
+    x, _ = jax.lax.scan(step, x, params["blocks"])
+    return _layernorm(x, params["ln_f_scale"], params["ln_f_bias"],
+                      cfg.ln_eps)
+
+
+def forward(params: Params, images: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """Normalized images -> f32 class logits (B, num_classes)."""
+    feats = forward_features(params, images, cfg)
+    if cfg.pool == "cls":
+        pooled = feats[:, 0]
+    elif cfg.pool == "gap":
+        pooled = feats[:, 1:].mean(axis=1)
+    else:
+        raise ValueError(f"unknown pool {cfg.pool!r}")
+    with _precision_ctx(cfg):
+        logits = (pooled.astype(jnp.float32) @ params["head"]["kernel"]
+                  + params["head"]["bias"])
+    return logits
+
+
+def forward_raw(params: Params, images_u8: jax.Array,
+                cfg: ViTConfig) -> jax.Array:
+    """Raw uint8 images in -> logits out, one XLA program (the fused
+    pipeline BASELINE's north_star asks for)."""
+    return forward(params, preprocess(images_u8, cfg), cfg)
+
+
+def jit_forward(cfg: ViTConfig, raw: bool = False):
+    """Compile-once entry; cfg is baked in as static."""
+    fn = forward_raw if raw else forward
+    return jax.jit(partial(fn, cfg=cfg))

@@ -1,0 +1,118 @@
+"""Training — real, jitted, shardable (the reference stubs this entirely:
+``init_gradient`` is commented out and ``launch_gradient`` returns zeros,
+src/netFPGA.cpp:518-580).
+
+Two levels:
+  * :func:`make_vit_train_step` — optax-based ViT classification step
+    (softmax cross-entropy, grad, update), jitted over a ("dp", "tp") mesh
+    with batch sharded over dp and Megatron-style tp params; XLA inserts
+    the gradient all-reduce and activation collectives.
+  * :class:`Trainer` — minimal loop around it (host data feed, metrics).
+
+bf16 compute with f32 params and f32 optimizer state; optional remat via
+``ViTConfig.remat`` trades FLOPs for HBM on deep models.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import vit
+from ..parallel.mesh import Mesh
+from ..parallel.sharding import (batch_sharding, replicated,
+                                 vit_param_sharding)
+
+Params = Dict[str, Any]
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return nll.mean()
+
+
+def vit_loss(params: Params, images: jax.Array, labels: jax.Array,
+             cfg: vit.ViTConfig) -> Tuple[jax.Array, jax.Array]:
+    logits = vit.forward(params, images, cfg)
+    loss = cross_entropy(logits, labels)
+    acc = (logits.argmax(-1) == labels).mean()
+    return loss, acc
+
+
+def make_vit_train_step(cfg: vit.ViTConfig, optimizer: optax.GradientTransformation,
+                        mesh: Optional[Mesh] = None,
+                        donate: bool = True) -> Callable:
+    """Build ``step(params, opt_state, images, labels) ->
+    (params, opt_state, metrics)``, jitted (and mesh-sharded if given)."""
+
+    def step(params, opt_state, images, labels):
+        (loss, acc), grads = jax.value_and_grad(
+            partial(vit_loss, cfg=cfg), has_aux=True)(params, images, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "accuracy": acc}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+    pshard = vit_param_sharding(mesh)
+    oshard = replicated(mesh)   # optax state: let SPMD propagate from params
+    ishard = batch_sharding(mesh, 4)
+    lshard = batch_sharding(mesh, 1)
+    mshard = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(pshard, None, ishard, lshard),
+        out_shardings=(pshard, None, {"loss": mshard, "accuracy": mshard}),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
+def init_train_state(key: jax.Array, cfg: vit.ViTConfig,
+                     optimizer: optax.GradientTransformation,
+                     mesh: Optional[Mesh] = None):
+    """Init params (+ place on mesh) and optimizer state."""
+    params = vit.init_params(key, cfg)
+    if mesh is not None:
+        params = jax.device_put(params, vit_param_sharding(mesh))
+    opt_state = optimizer.init(params)
+    return params, opt_state
+
+
+class Trainer:
+    """Minimal training loop for ViT classification."""
+
+    def __init__(self, cfg: vit.ViTConfig, learning_rate: float = 3e-4,
+                 weight_decay: float = 0.05, mesh: Optional[Mesh] = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.optimizer = optax.adamw(learning_rate,
+                                     weight_decay=weight_decay)
+        self.params, self.opt_state = init_train_state(
+            jax.random.key(seed), cfg, self.optimizer, mesh)
+        self._step = make_vit_train_step(cfg, self.optimizer, mesh)
+        self.history = []
+
+    def fit(self, batches: Iterable[Tuple[jax.Array, jax.Array]],
+            log_every: int = 0):
+        for i, (images, labels) in enumerate(batches):
+            if self.mesh is not None:
+                images = jax.device_put(
+                    images, batch_sharding(self.mesh, 4))
+                labels = jax.device_put(
+                    labels, batch_sharding(self.mesh, 1))
+            self.params, self.opt_state, metrics = self._step(
+                self.params, self.opt_state, images, labels)
+            self.history.append(
+                {k: float(v) for k, v in metrics.items()})
+            if log_every and i % log_every == 0:
+                m = self.history[-1]
+                print(f"step {i}: loss {m['loss']:.4f} "
+                      f"acc {m['accuracy']:.3f}")
+        return self.history
