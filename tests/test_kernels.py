@@ -1,0 +1,91 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vit_fpga_tpu.models import vit
+from vit_fpga_tpu.ops.fused_mlp import fused_mlp_pallas, fused_mlp_xla
+from vit_fpga_tpu.ops.patch_embed import (fold_preprocess,
+                                          patch_embed_pallas,
+                                          patch_embed_xla)
+from vit_fpga_tpu.ops.streamed_gemm import streamed_gemm
+
+
+def test_fold_preprocess_equals_explicit_pipeline():
+    cfg = vit.ViTConfig(image_size=32, patch_size=8, hidden_dim=64,
+                        depth=1, num_heads=4, mlp_dim=128, num_classes=4,
+                        dtype="float32", attn_impl="xla")
+    params = vit.init_params(jax.random.key(0), cfg)
+    kernel = np.asarray(params["patch_embed"]["kernel"])
+    bias = np.asarray(params["patch_embed"]["bias"])
+    kf, bf = fold_preprocess(kernel, bias, cfg.mean, cfg.std,
+                             cfg.patch_size)
+
+    raw = np.random.default_rng(0).integers(0, 256, (2, 32, 32, 3),
+                                            np.uint8)
+    # explicit: preprocess -> patchify -> gemm
+    x = vit.preprocess(jnp.asarray(raw), cfg)
+    explicit = vit.patchify(x, 8) @ kernel + bias
+    folded = patch_embed_xla(jnp.asarray(raw), jnp.asarray(kf),
+                             jnp.asarray(bf), 8, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(explicit),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_patch_embed_pallas_matches_xla():
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 256, (2, 32, 64, 3), np.uint8)
+    kf = rng.normal(size=(8 * 8 * 3, 128)).astype(np.float32) * 0.01
+    bf = rng.normal(size=(128,)).astype(np.float32)
+    ref = patch_embed_xla(jnp.asarray(raw), jnp.asarray(kf),
+                          jnp.asarray(bf), 8, out_dtype=jnp.float32)
+    out = patch_embed_pallas(jnp.asarray(raw), jnp.asarray(kf),
+                             jnp.asarray(bf), 8, out_dtype=jnp.float32,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_mlp_pallas_matches_xla():
+    rng = np.random.default_rng(2)
+    t, d, m = 100, 64, 256
+    x = jnp.asarray(rng.normal(size=(t, d)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(d,)) + 1.0, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(d,)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, m)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(m,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(m, d)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(d,)), jnp.float32)
+    ref = fused_mlp_xla(x, s, b, w1, b1, w2, b2)
+    out = fused_mlp_pallas(x, s, b, w1, b1, w2, b2, block_t=64,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mlp_quick_gelu_variant():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(32, 64)), jnp.float32)
+    s = jnp.ones((64,), jnp.float32)
+    b = jnp.zeros((64,), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(64, 128)) * 0.05, jnp.float32)
+    b1 = jnp.zeros((128,), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(128, 64)) * 0.05, jnp.float32)
+    b2 = jnp.zeros((64,), jnp.float32)
+    ref = fused_mlp_xla(x, s, b, w1, b1, w2, b2, act="quick_gelu")
+    out = fused_mlp_pallas(x, s, b, w1, b1, w2, b2, act="quick_gelu",
+                           block_t=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_streamed_gemm_matches_dot():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(64, 300)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(300, 128)), jnp.float32)
+    ref = jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST)
+    out = streamed_gemm(x, w, bk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -1,0 +1,72 @@
+"""Serving pipeline tests: decode -> batch -> device -> futures."""
+
+import io
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_fpga_tpu.models import vit
+from vit_fpga_tpu.runtime.serving import ImageServer, decode_jpeg
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+
+def _jpeg_bytes(img: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")  # lossless -> exact parity
+    return buf.getvalue()
+
+
+def _tiny_forward():
+    cfg = vit.ViTConfig(image_size=32, patch_size=8, hidden_dim=64,
+                        depth=2, num_heads=4, mlp_dim=128, num_classes=8,
+                        dtype="float32", attn_impl="xla")
+    params = vit.init_params(jax.random.key(0), cfg)
+    jfwd = vit.jit_forward(cfg, raw=True)
+    return cfg, params, lambda batch: jfwd(params, batch)
+
+
+def test_serving_end_to_end_matches_direct():
+    cfg, params, fwd = _tiny_forward()
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (32, 32, 3), np.uint8) for _ in range(10)]
+    with ImageServer(fwd, image_size=32, batch_size=4,
+                     decode_workers=2) as server:
+        futs = [server.submit(_jpeg_bytes(im)) for im in imgs]
+        results = [f.result(timeout=60) for f in futs]
+    direct = np.asarray(fwd(jnp.asarray(np.stack(imgs))))
+    for got, want in zip(results, direct):
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert len(results) == 10
+
+
+def test_serving_partial_batch_flush_and_counters():
+    _, _, fwd = _tiny_forward()
+    rng = np.random.default_rng(1)
+    with ImageServer(fwd, image_size=32, batch_size=256,
+                     flush_ms=10.0) as server:
+        fut = server.submit_raw(rng.integers(0, 256, (32, 32, 3),
+                                             np.uint8))
+        out = fut.result(timeout=60)
+        assert out.shape == (8,)
+        assert server.served == 1 and server.batches == 1
+
+
+def test_serving_decode_error_isolated():
+    _, _, fwd = _tiny_forward()
+    with ImageServer(fwd, image_size=32, batch_size=2) as server:
+        bad = server.submit(b"not an image")
+        good = server.submit_raw(np.zeros((32, 32, 3), np.uint8))
+        with pytest.raises(Exception):
+            bad.result(timeout=30)
+        assert good.result(timeout=60).shape == (8,)
+
+
+def test_decode_resizes():
+    img = np.random.default_rng(2).integers(0, 256, (64, 48, 3), np.uint8)
+    out = decode_jpeg(_jpeg_bytes(img), 32)
+    assert out.shape == (32, 32, 3) and out.dtype == np.uint8

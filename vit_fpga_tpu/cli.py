@@ -1,0 +1,136 @@
+"""Command-line apps (the L5 'application' layer of SURVEY.md §1).
+
+Usage: ``python -m vit_fpga_tpu.cli <command> [key=value ...]``
+
+Commands:
+  demo    — end-to-end tour: dense net forward/train, streaming ring
+  bench   — ViT/CLIP throughput (same engine as the repo-root bench.py)
+  parity  — oracle-vs-device parity report (f32, bf16, int8 paths)
+  serve   — throughput test of the JPEG serving pipeline
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .utils.options import Options
+
+
+def cmd_demo(opts: Options) -> int:
+    from . import ACT_IDENTITY, ACT_RELU2, ImageSet, NetSets, random_net
+    from .backends.tpu import NetTPU
+    n_ins = opts.get("n_ins", int, 64)
+    net = NetTPU(random_net(n_ins, [128, 32, 10], seed=0,
+                            activations=[ACT_RELU2, ACT_RELU2,
+                                         ACT_IDENTITY]))
+    x = np.random.default_rng(0).normal(size=(n_ins,)).astype(np.float32)
+    out = net.launch_forward(x)
+    print(f"forward: {out.shape} in {net.get_forward_performance()} us")
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(128, n_ins)).astype(np.float32)
+    Y = rng.normal(size=(128, 10)).astype(np.float32)
+    net.init_gradient(NetSets(X, Y))
+    errs = net.launch_gradient(50, 1e-6, 0.01)
+    nz = errs[errs > 0]
+    print(f"train: loss {nz[0]:.4f} -> {nz[-1]:.4f} "
+          f"in {net.get_gradient_performance()} us")
+    img = rng.integers(0, 256, (256, 512), np.uint8)
+    for i in range(4):
+        net.filter_image(ImageSet(img, original_h=256, original_w=512,
+                                  original_x_pos=i))
+    got = [net.get_filtered_image() for _ in range(4)]
+    print(f"pipeline: {sum(not g.empty for g in got)}/4 frames, "
+          f"FIFO={[g.original_x_pos for g in got]}")
+    return 0
+
+
+def cmd_bench(opts: Options) -> int:
+    import bench  # repo-root bench.py
+    argv = [f"{k}={opts.get(k)}" for k in opts.keys()]
+    bench.main(argv + ["json_only=false"])
+    return 0
+
+
+def cmd_parity(opts: Options) -> int:
+    import jax.numpy as jnp
+    from .backends.cpu import NetCPU
+    from .backends.tpu import NetTPU
+    from .defines import ACT_IDENTITY, ACT_RELU2, random_net
+    from .models import quantized
+    data = random_net(opts.get("n_ins", int, 64),
+                      [128, 32, 10], seed=0,
+                      activations=[ACT_RELU2, ACT_RELU2, ACT_IDENTITY])
+    x = np.random.default_rng(0).normal(
+        size=(8, data.n_ins)).astype(np.float32)
+    oracle = NetCPU(data).forward_batch(x)
+
+    f32 = NetTPU(data).forward_batch(x)
+    rel = np.abs(f32 - oracle).max() / (np.abs(oracle).max() + 1e-12)
+    print(f"f32 device vs oracle: max rel err {rel:.2e}")
+
+    bf16 = NetTPU(data, compute_dtype="bfloat16").forward_batch(x)
+    rel = np.abs(bf16 - oracle).max() / (np.abs(oracle).max() + 1e-12)
+    print(f"bf16 device vs oracle: max rel err {rel:.2e}")
+
+    qp = quantized.quantize_mlp(data)
+    ref = quantized.mlp_forward_int8_numpy(qp, x)
+    dev = quantized.device_qparams(qp)
+    out = np.asarray(quantized.mlp_forward_int8(dev, jnp.asarray(x),
+                                                qp["acts"]))
+    exact = np.array_equal(out, ref)
+    print(f"int8 device vs int8 oracle: bit-exact={exact}")
+    rel = np.abs(ref - oracle).max() / (np.abs(oracle).max() + 1e-12)
+    print(f"int8 oracle vs f32 oracle: max rel err {rel:.2e} "
+          f"(quantization noise)")
+    return 0
+
+
+def cmd_serve(opts: Options) -> int:
+    import io
+    import time
+    import jax
+    from PIL import Image
+    from .models import vit
+    from .runtime.serving import ImageServer
+    model = opts.get("model", str, "vit_b16")
+    batch = opts.get("batch", int, 64)
+    n = opts.get("images", int, 256)
+    size = opts.get("image", int, 224)
+    cfg = vit.config(model, image_size=size, dtype="bfloat16")
+    params = jax.device_put(vit.init_params(jax.random.key(0), cfg))
+    jfwd = vit.jit_forward(cfg, raw=True)
+    rng = np.random.default_rng(0)
+    jpegs = []
+    for _ in range(8):
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 256, (size, size, 3),
+                                     np.uint8)).save(buf, format="JPEG")
+        jpegs.append(buf.getvalue())
+    with ImageServer(lambda b: jfwd(params, b), image_size=size,
+                     batch_size=batch) as server:
+        futs = [server.submit(jpegs[i % 8]) for i in range(n)]
+        t0 = time.perf_counter()
+        for f in futs:
+            f.result(timeout=600)
+        dt = time.perf_counter() - t0
+    print(f"served {n} images in {dt:.2f}s ({n / dt:.1f} img/s), "
+          f"{server.batches} batches")
+    return 0
+
+
+COMMANDS = {"demo": cmd_demo, "bench": cmd_bench, "parity": cmd_parity,
+            "serve": cmd_serve}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in COMMANDS:
+        print(__doc__)
+        return 2
+    return COMMANDS[argv[0]](Options(argv[1:]))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,116 @@
+"""Fused transformer-MLP Pallas kernel: LN -> W1 -> GELU -> W2 -> +residual.
+
+One grid cell processes a tile of tokens end-to-end while both weight
+matrices stay VMEM-resident across the whole sweep (their block index maps
+are constant, so Mosaic's revolving buffers fetch them once).  The
+intermediate (tile, mlp_dim) activation never touches HBM — that is the
+fusion XLA cannot fully do across two GEMMs with a transcendental between
+them.
+
+Semantics match models/vit.py's MLP half exactly: f32 LayerNorm
+statistics, erf-GELU (or the cfg's variant), bf16 GEMMs with f32
+accumulation, residual add in the input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import round_up
+
+
+def _act(h, kind: str):
+    if kind == "gelu":
+        return jax.nn.gelu(h, approximate=False)
+    if kind == "gelu_tanh":
+        return jax.nn.gelu(h, approximate=True)
+    if kind == "quick_gelu":
+        return h * jax.nn.sigmoid(1.702 * h)
+    raise ValueError(kind)
+
+
+def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                o_ref, *, eps: float, act: str):
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * s_ref[0] +
+          b_ref[0]).astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[:],
+                preferred_element_type=jnp.float32) + b1_ref[0]
+    h = _act(h, act).astype(x.dtype)
+    y = jnp.dot(h, w2_ref[:],
+                preferred_element_type=jnp.float32) + b2_ref[0]
+    o_ref[:] = x + y.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
+                                             "interpret"))
+def fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                     eps: float = 1e-6, act: str = "gelu",
+                     block_t: int = 512, interpret: bool = False):
+    """x: (T, D) tokens. Returns x + MLP(LN(x)), matching the model block.
+
+    VMEM budget at ViT-B (D=768, M=3072, bf16, block_t=512): w1+w2 9.4 MB,
+    x/xn/out tiles 2.4 MB, h tile 3 MB -> comfortably under 16 MB.
+    """
+    t, d = x.shape
+    m = w1.shape[1]
+    tp = round_up(t, block_t)
+    if tp != t:
+        x = jnp.pad(x, ((0, tp - t), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, eps=eps, act=act),
+        grid=(tp // block_t,),
+        in_specs=[
+            pl.BlockSpec((block_t, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * tp * d * m,
+            bytes_accessed=(2 * tp * d + 2 * d * m) * x.dtype.itemsize,
+            transcendentals=tp * m),
+        interpret=interpret,
+    )(x, ln_scale.reshape(1, -1).astype(jnp.float32),
+      ln_bias.reshape(1, -1).astype(jnp.float32),
+      w1.astype(x.dtype), b1.reshape(1, -1).astype(jnp.float32),
+      w2.astype(x.dtype), b2.reshape(1, -1).astype(jnp.float32))
+    return out[:t]
+
+
+def fused_mlp_xla(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                  eps: float = 1e-6, act: str = "gelu"):
+    """Reference implementation with identical semantics."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * ln_scale +
+          ln_bias).astype(x.dtype)
+    h = jnp.dot(xn, w1.astype(x.dtype),
+                preferred_element_type=jnp.float32) + b1
+    h = _act(h, act).astype(x.dtype)
+    y = jnp.dot(h, w2.astype(x.dtype),
+                preferred_element_type=jnp.float32) + b2
+    return x + y.astype(x.dtype)

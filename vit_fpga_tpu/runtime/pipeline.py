@@ -56,14 +56,17 @@ class StreamingRing(Generic[T, M]):
 
         ``dispatch`` must be non-blocking (JAX async dispatch qualifies).
         """
+        from ..utils.log import Metrics
         if len(self._ring) >= self.depth:
             self.dropped += 1
+            Metrics.incr("ring/dropped")
             log.warning("streaming ring full (depth=%d): dropping frame",
                         self.depth)
             print("vit_fpga_tpu: ring full, dropping frame")
             return False
         self._ring.append((dispatch(), meta))
         self.submitted += 1
+        Metrics.incr("ring/submitted")
         return True
 
     def try_retrieve(self) -> Optional[Tuple[T, M]]:

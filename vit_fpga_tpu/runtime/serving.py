@@ -1,0 +1,144 @@
+"""Image-serving pipeline: host JPEG decode -> batched device inference.
+
+BASELINE config 5: "CLIP ViT-L/14 image encoder serving at batch-256 with
+host-side JPEG decode -> device preprocessing pipeline".  Division of
+labor, TPU-first:
+
+  * host (thread pool): JPEG decode + resize-to-model-size (shape
+    uniformity for static XLA shapes) — byte-level work the TPU can't do
+  * a batcher thread assembles fixed-size uint8 batches (padding partial
+    flushes) and dispatches ONE jitted program per batch: normalize +
+    patchify + encoder all fused on device (models/*.forward_raw)
+  * a completer thread materializes results and resolves per-request
+    futures, so callers see a simple ``submit(jpeg) -> Future`` API
+
+Back-pressure mirrors the reference ring (SURVEY.md §2.3): at most
+``max_inflight`` batches are dispatched-but-unfetched; submits beyond the
+queue bound block the caller (lossless, unlike the frame ring's drop
+semantics — serving must not drop requests).
+"""
+
+from __future__ import annotations
+
+import io
+import queue
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def decode_jpeg(data: bytes, image_size: int) -> np.ndarray:
+    """JPEG/PNG bytes -> (S, S, 3) uint8 (RGB, bilinear resize)."""
+    from PIL import Image
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    if img.size != (image_size, image_size):
+        img = img.resize((image_size, image_size), Image.BILINEAR)
+    return np.asarray(img, dtype=np.uint8)
+
+
+class ImageServer:
+    """Batched async image-encoder server.
+
+    ``forward_raw`` is a jitted ``(uint8 batch) -> array`` program (use
+    ``models.vit.jit_forward(cfg, raw=True)`` or the CLIP equivalent,
+    partially applied with device-resident params).
+    """
+
+    def __init__(self, forward_raw: Callable[[np.ndarray], "np.ndarray"],
+                 image_size: int, batch_size: int = 256,
+                 decode_workers: int = 8, max_inflight: int = 4,
+                 flush_ms: float = 5.0):
+        self._fwd = forward_raw
+        self._size = image_size
+        self._batch = batch_size
+        self._flush_s = flush_ms / 1e3
+        self._decode_pool = ThreadPoolExecutor(decode_workers,
+                                               thread_name_prefix="decode")
+        self._pending: "queue.Queue" = queue.Queue(maxsize=4 * batch_size)
+        self._dispatched: "queue.Queue" = queue.Queue(maxsize=max_inflight)
+        self._stop = threading.Event()
+        self.served = 0
+        self.batches = 0
+        self._batcher = threading.Thread(target=self._batch_loop,
+                                         daemon=True)
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           daemon=True)
+        self._batcher.start()
+        self._completer.start()
+
+    # -- public API -----------------------------------------------------------
+
+    def submit(self, jpeg_bytes: bytes) -> Future:
+        """Enqueue one encoded image; resolves to its embedding/logits row."""
+        fut: Future = Future()
+        self._decode_pool.submit(self._decode_one, jpeg_bytes, fut)
+        return fut
+
+    def submit_raw(self, image_u8: np.ndarray) -> Future:
+        """Enqueue an already-decoded (S, S, 3) uint8 image."""
+        fut: Future = Future()
+        self._pending.put((image_u8, fut))
+        return fut
+
+    def close(self) -> None:
+        self._stop.set()
+        self._batcher.join(timeout=10)
+        self._completer.join(timeout=10)
+        self._decode_pool.shutdown(wait=False)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # -- internals ------------------------------------------------------------
+
+    def _decode_one(self, data: bytes, fut: Future) -> None:
+        try:
+            img = decode_jpeg(data, self._size)
+        except Exception as e:  # decode failure -> per-request error
+            fut.set_exception(e)
+            return
+        self._pending.put((img, fut))
+
+    def _batch_loop(self) -> None:
+        import jax.numpy as jnp
+        while not self._stop.is_set():
+            items = []
+            try:
+                items.append(self._pending.get(timeout=0.05))
+            except queue.Empty:
+                continue
+            deadline = self._flush_s
+            while len(items) < self._batch:
+                try:
+                    items.append(self._pending.get(timeout=deadline))
+                except queue.Empty:
+                    break
+            n = len(items)
+            batch = np.zeros((self._batch, self._size, self._size, 3),
+                             np.uint8)
+            for i, (img, _) in enumerate(items):
+                batch[i] = img
+            out = self._fwd(jnp.asarray(batch))  # async dispatch
+            self._dispatched.put((out, [f for _, f in items], n))
+            self.batches += 1
+
+    def _complete_loop(self) -> None:
+        while not self._stop.is_set() or not self._dispatched.empty():
+            try:
+                out, futs, n = self._dispatched.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            rows = np.asarray(out)[:n]  # blocks until device completes
+            for i, fut in enumerate(futs):
+                if not fut.cancelled():
+                    fut.set_result(rows[i])
+            self.served += n
+            from ..utils.log import Metrics
+            Metrics.incr("serving/images", n)
+            Metrics.incr("serving/batches")
