@@ -145,6 +145,28 @@ def param_count(params: Params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
 
 
+def interpolate_pos_embed(params: Params, old_image_size: int,
+                          new_image_size: int, patch_size: int) -> Params:
+    """Bicubic-resize the learned position grid so checkpoints trained at
+    one resolution serve at another (e.g. ViT-L/16 @224 -> @384, BASELINE
+    config 4).  The CLS token's embedding is carried over unchanged."""
+    if old_image_size == new_image_size:
+        return params
+    old_g = old_image_size // patch_size
+    new_g = new_image_size // patch_size
+    pos = params["pos_embed"]          # (1, old_g^2 + 1, D)
+    d = pos.shape[-1]
+    cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
+    grid = grid_pos.reshape(1, old_g, old_g, d).astype(jnp.float32)
+    grid = jax.image.resize(grid, (1, new_g, new_g, d), method="cubic")
+    new_pos = jnp.concatenate(
+        [cls_pos, grid.reshape(1, new_g * new_g, d).astype(pos.dtype)],
+        axis=1)
+    out = dict(params)
+    out["pos_embed"] = new_pos
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------

@@ -68,6 +68,29 @@ def load_params(path: str) -> Params:
 
 
 # ---------------------------------------------------------------------------
+# Training-state checkpoint/resume (orbax; arbitrary pytrees incl. optax
+# state).  The reference has no resume story at all (SURVEY.md §5).
+# ---------------------------------------------------------------------------
+
+def save_train_state(path: str, state: Any) -> None:
+    """Write an arbitrary pytree (params + optimizer state + step, ...)
+    atomically with orbax."""
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def load_train_state(path: str, like: Any = None) -> Any:
+    """Restore a pytree saved by :func:`save_train_state`; pass ``like``
+    (a matching abstract/concrete pytree) to restore exact leaf types."""
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(path, item=like)
+        return ckptr.restore(path)
+
+
+# ---------------------------------------------------------------------------
 # HuggingFace ViT import
 # ---------------------------------------------------------------------------
 
