@@ -114,8 +114,12 @@ class NetTPU(NetAbstract):
             (np.ascontiguousarray(w.T, dtype=DATA_TYPE),
              np.asarray(b, dtype=DATA_TYPE))
             for w, b in zip(data.params, data.bias)]
+        if compute_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(f"unknown compute_dtype {compute_dtype!r}")
+        self._compute_mode = compute_dtype
         self._dtype = jnp.bfloat16 if compute_dtype == "bfloat16" \
             else jnp.float32
+        self._qparams_dev = None  # int8 mode: device quantized params
         self._key = ("net_tpu", next(_uid))
         self._version = 0
         self._device_params = None   # set after training (device master)
@@ -154,9 +158,29 @@ class NetTPU(NetAbstract):
             x = x[None, :]
         if x.shape[1] != self._n_ins:
             raise ValueError(f"input dim {x.shape[1]} != n_ins {self._n_ins}")
-        out = self._compiled_forward()(self._params_on_device(), x)
+        if self._compute_mode == "int8":
+            out = self._forward_int8(x)
+        else:
+            out = self._compiled_forward()(self._params_on_device(), x)
         out = np.asarray(out)
         return out[0] if squeeze else out
+
+    def _forward_int8(self, x: jax.Array) -> jax.Array:
+        """Quantized datapath (≙ the reference's fixed-point mode):
+        weights quantized once per version, dynamic per-tensor activation
+        quantization, int32 MXU accumulation."""
+        from ..models import quantized
+        if self._qparams_dev is None:
+            self._sync_host_params()
+            qp = quantized.quantize_mlp(self.get_net_data())
+            self._qparams_dev = (jax.device_put(
+                quantized.device_qparams(qp)), qp["acts"])
+        dev, acts = self._qparams_dev
+        key = ("dense_int8_fwd", acts)
+        fn = self._engine.compiled(
+            key, lambda: jax.jit(partial(quantized.mlp_forward_int8,
+                                         acts=acts)))
+        return fn(dev, x)
 
     def launch_forward(self, inputs: np.ndarray) -> np.ndarray:
         with PerfTimer() as t:

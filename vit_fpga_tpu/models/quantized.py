@@ -20,7 +20,7 @@ import numpy as np
 from .. import activations as act
 from ..defines import NetData
 from ..ops import quant
-from ..ops.attention import mha
+from ..ops.attention import mha_qkv
 from . import vit as vit_mod
 
 Params = Dict[str, Any]
@@ -56,24 +56,26 @@ def mlp_forward_int8_numpy(qparams: Params, x: np.ndarray) -> np.ndarray:
 
 def mlp_forward_int8(qparams_dev: Params, x: jax.Array,
                      acts: Tuple[int, ...], impl: str = "auto") -> jax.Array:
-    """Device int8 forward; semantics identical to the numpy oracle."""
+    """Device int8 forward; semantics identical to the numpy oracle.
+
+    ``acts`` is static (bake it in with functools.partial under jit).
+    """
     h = x.astype(jnp.float32)
-    for layer in qparams_dev["layers"]:
+    for layer, code in zip(qparams_dev["layers"], acts):
         hq, sx = quant.quantize_jnp(h)
         h = quant.int8_linear(hq, sx, layer["wq"], layer["sw"], layer["b"],
                               impl=impl)
-        code = int(layer["act"])
-        h = act.apply_jnp(code, h).astype(jnp.float32)
+        h = act.apply_jnp(int(code), h).astype(jnp.float32)
     return h
 
 
 def device_qparams(qparams: Params) -> Params:
-    """Host quantized params -> device arrays (act codes carried inline so
-    the pytree stays jit-friendly)."""
+    """Host quantized params -> device arrays (activation codes stay OUT
+    of the pytree — they are static trace constants, not data)."""
     return {"layers": [
         {"wq": jnp.asarray(l["wq"]), "sw": jnp.asarray(l["sw"]),
-         "b": jnp.asarray(l["b"]), "act": code}
-        for l, code in zip(qparams["layers"], qparams["acts"])]}
+         "b": jnp.asarray(l["b"])}
+        for l in qparams["layers"]]}
 
 
 # ---------------------------------------------------------------------------
@@ -128,13 +130,11 @@ def _qlin(x: jax.Array, lin: Params, impl: str) -> jax.Array:
 
 def _qblock(x, blk, cfg: vit_mod.ViTConfig, impl: str):
     b, n, d = x.shape
-    nh, hd = cfg.num_heads, cfg.head_dim
     h = vit_mod._layernorm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
     qkv = _qlin(h, {"wq": blk["wqkv_q"], "sw": blk["wqkv_s"],
                     "b": blk["bqkv"]}, impl)
-    qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-    o = mha(qkv[0], qkv[1], qkv[2], impl=cfg.attn_impl)
-    o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
+    o = mha_qkv(qkv.astype(jnp.float32), cfg.num_heads,
+                impl=cfg.attn_impl)
     x = x + _qlin(o, {"wq": blk["wo_q"], "sw": blk["wo_s"],
                       "b": blk["bo"]}, impl)
     h = vit_mod._layernorm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)

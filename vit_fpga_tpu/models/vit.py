@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import mha
+from ..ops.attention import mha_qkv
 
 Params = Dict[str, Any]
 
@@ -201,16 +201,18 @@ def preprocess(images_u8: jax.Array, cfg: ViTConfig) -> jax.Array:
 
 
 def _block(x, blk, cfg: ViTConfig):
-    """One pre-LN transformer block. ``blk`` holds this layer's params."""
+    """One pre-LN transformer block. ``blk`` holds this layer's params.
+
+    Attention runs on the PACKED (B, N, 3D) qkv tensor — the fused Pallas
+    kernel (or the einsum fallback) slices per-head q/k/v internally, so
+    no head-split transpose ever materializes in HBM.
+    """
     b, n, d = x.shape
-    nh, hd = cfg.num_heads, cfg.head_dim
     dt = cfg.compute_dtype
 
     h = _layernorm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
     qkv = h @ blk["wqkv"].astype(dt) + blk["bqkv"].astype(dt)
-    qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-    o = mha(qkv[0], qkv[1], qkv[2], impl=cfg.attn_impl)
-    o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
+    o = mha_qkv(qkv, cfg.num_heads, impl=cfg.attn_impl)
     x = x + (o @ blk["wo"].astype(dt) + blk["bo"].astype(dt))
 
     h = _layernorm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)

@@ -51,61 +51,157 @@ def mha_xla(q, k, v, n_valid: int | None = None):
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
-                n_pad: int):
-    """One (batch, head) cell: fully fused attention in VMEM.
+                n_pad: int, n_heads: int):
+    """One batch-image cell: all heads, fully fused in VMEM.
 
-    Refs are (1, 1, N_pad, Dh) blocks. Score matrix lives only in VMEM/
-    registers; softmax statistics in f32 regardless of input dtype.
+    Refs are (1, H, N_pad, Dh) blocks.  The (N_pad, N_pad) score matrix
+    lives only in VMEM — never written to HBM, which is the entire win
+    over the unfused XLA path (measured ~7.8 ms/step of pure HBM softmax
+    traffic on ViT-B/16 batch 64).  Softmax statistics in f32; matmul
+    inputs stay in the model dtype (bf16 on the fast path) with f32 MXU
+    accumulation.  Heads are a static unrolled loop so Mosaic pipelines
+    the per-head matmuls back-to-back.
     """
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale        # (N_pad, N_pad)
-    if n_valid < n_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < n_valid, scores, _NEG_INF)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0, 0] = jnp.dot(p, v,
-                          preferred_element_type=jnp.float32).astype(
-                              o_ref.dtype)
+    for h in range(n_heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # (N_pad, N_pad)
+        if n_valid < n_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < n_valid, scores, _NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
+        o_ref[0, h] = jnp.dot(
+            p, v_ref[0, h],
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_valid", "interpret"))
 def mha_pallas(q, k, v, n_valid: int | None = None,
                interpret: bool = False):
-    """Fused attention over (B, H, N, Dh); pads N and Dh to hardware tiles."""
+    """Fused attention over (B, H, N, Dh); pads N to the lane tile.
+
+    Dh is NOT padded — the MXU handles a 64-wide contraction natively and
+    padding it to 128 would double the attention FLOPs.
+    """
     b, h, n, dh = q.shape
     if n_valid is None:
         n_valid = n
     scale = 1.0 / (dh ** 0.5)
     n_pad = round_up(n, LANE)
-    dh_pad = round_up(dh, LANE)
-    if (n_pad, dh_pad) != (n, dh):
-        pad = [(0, 0), (0, 0), (0, n_pad - n), (0, dh_pad - dh)]
+    if n_pad != n:
+        pad = [(0, 0), (0, 0), (0, n_pad - n), (0, 0)]
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
 
-    block = pl.BlockSpec((1, 1, n_pad, dh_pad),
-                         lambda i, j: (i, j, 0, 0),
+    block = pl.BlockSpec((1, h, n_pad, dh), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_mha_kernel, scale=scale,
-                          n_valid=min(n_valid, n), n_pad=n_pad),
-        grid=(b, h),
+                          n_valid=min(n_valid, n), n_pad=n_pad,
+                          n_heads=h),
+        grid=(b,),
         in_specs=[block, block, block],
         out_specs=block,
-        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, dh_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, dh), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * h * n_pad * n_pad * dh_pad,
-            bytes_accessed=4 * b * h * n_pad * dh_pad * q.dtype.itemsize,
+            flops=2 * 2 * b * h * n_pad * n_pad * dh,
+            bytes_accessed=4 * b * h * n_pad * dh * q.dtype.itemsize,
             transcendentals=b * h * n_pad * n_pad,
         ),
         interpret=interpret,
     )(q, k, v)
-    return out[:, :, :n, :dh]
+    return out[:, :, :n, :]
+
+
+def _mha_qkv_kernel(qkv_ref, o_ref, *, scale: float, n_valid: int,
+                    n_pad: int, n_heads: int, dh: int):
+    """Layout-free fused attention: takes the (1, N_pad, 3D) qkv block
+    straight from the qkv projection GEMM and writes (1, N_pad, D) ready
+    for the output projection — zero transposes anywhere.  Per-head q/k/v
+    are 64-aligned lane slices of the fused tensor."""
+    d = n_heads * dh
+    qkv = qkv_ref[0]
+    for h in range(n_heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, d + h * dh:d + (h + 1) * dh]
+        v = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if n_valid < n_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < n_valid, scores, _NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv.dtype)
+        o_ref[0, :, h * dh:(h + 1) * dh] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "n_valid",
+                                             "interpret"))
+def mha_qkv_pallas(qkv, num_heads: int, n_valid: int | None = None,
+                   interpret: bool = False):
+    """Fused attention on the packed (B, N, 3D) qkv tensor -> (B, N, D)."""
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    if n_valid is None:
+        n_valid = n
+    n_pad = round_up(n, LANE)
+    if n_pad != n:
+        qkv = jnp.pad(qkv, [(0, 0), (0, n_pad - n), (0, 0)])
+
+    out = pl.pallas_call(
+        functools.partial(_mha_qkv_kernel, scale=1.0 / (dh ** 0.5),
+                          n_valid=min(n_valid, n), n_pad=n_pad,
+                          n_heads=num_heads, dh=dh),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n_pad, d3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * num_heads * n_pad * n_pad * dh,
+            bytes_accessed=4 * b * n_pad * d * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qkv)
+    return out[:, :n, :]
+
+
+def mha_qkv_xla(qkv, num_heads: int, n_valid: int | None = None):
+    """Reference semantics for the packed-qkv entry point."""
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    q = qkv[..., :d].reshape(b, n, num_heads, dh)
+    k = qkv[..., d:2 * d].reshape(b, n, num_heads, dh)
+    v = qkv[..., 2 * d:].reshape(b, n, num_heads, dh)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (dh ** -0.5)
+    if n_valid is not None and n_valid < n:
+        mask = jnp.arange(n) < n_valid
+        scores = jnp.where(mask[None, None, None, :], scores, _NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1).astype(qkv.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                   preferred_element_type=jnp.float32).astype(qkv.dtype)
+    return o.reshape(b, n, d)
+
+
+def mha_qkv(qkv, num_heads: int, n_valid: int | None = None,
+            impl: str = "auto"):
+    """Packed-qkv attention dispatch (the model hot path)."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return mha_qkv_pallas(qkv, num_heads, n_valid=n_valid)
+    return mha_qkv_xla(qkv, num_heads, n_valid=n_valid)
 
 
 def mha(q, k, v, n_valid: int | None = None, impl: str = "auto"):

@@ -67,23 +67,35 @@ def dequantize(q, scale):
 def int8_linear_numpy(xq: np.ndarray, sx: np.ndarray, wq: np.ndarray,
                       sw: np.ndarray, bias: Optional[np.ndarray] = None
                       ) -> np.ndarray:
-    """Oracle: (B, K) int8 @ (K, N) int8 -> f32. Exact int32 accumulate."""
+    """Oracle: (B, K) int8 @ (K, N) int8 -> f32.
+
+    Fixed-point epilogue (TFLite-style, faithful to an FPGA datapath AND
+    bit-stable under compiler fusion): the bias is requantized into the
+    int32 accumulator scale, added EXACTLY in integer arithmetic, and the
+    result is dequantized with one f32 multiply — the only rounded float
+    op, so no FMA contraction can change the result between executors.
+    """
+    s_out = np.float32(np.float32(sx) * np.float32(sw))
     acc = xq.astype(np.int32) @ wq.astype(np.int32)
-    out = acc.astype(np.float32) * (np.float32(sx) * np.float32(sw))
     if bias is not None:
-        out = out + bias.astype(np.float32)
-    return out
+        bq = np.rint(bias.astype(np.float32) / s_out).astype(np.int64)
+        bq = np.clip(bq, -2**31, 2**31 - 1).astype(np.int32)
+        acc = acc + bq
+    return acc.astype(np.float32) * s_out
 
 
 def int8_linear_xla(xq: jax.Array, sx, wq: jax.Array, sw,
                     bias: Optional[jax.Array] = None) -> jax.Array:
+    """Device path; semantics bit-identical to :func:`int8_linear_numpy`."""
+    s_out = (jnp.float32(sx) * jnp.float32(sw)).astype(jnp.float32)
     acc = jax.lax.dot_general(
         xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    out = acc.astype(jnp.float32) * (jnp.float32(sx) * jnp.float32(sw))
     if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    return out
+        bq = jnp.rint(bias.astype(jnp.float32) / s_out)
+        bq = jnp.clip(bq, -2.0**31, 2.0**31 - 1).astype(jnp.int32)
+        acc = acc + bq
+    return acc.astype(jnp.float32) * s_out
 
 
 # ---------------------------------------------------------------------------
@@ -155,13 +167,15 @@ def int8_linear_pallas(xq: jax.Array, sx, wq: jax.Array, sw,
                        interpret: bool = False) -> jax.Array:
     """Pallas-backed int8 linear with identical semantics to the oracle."""
     shape = xq.shape
+    s_out = (jnp.float32(sx) * jnp.float32(sw)).astype(jnp.float32)
     acc = int8_gemm_pallas(xq.reshape(-1, shape[-1]), wq,
                            interpret=interpret)
     acc = acc.reshape(*shape[:-1], wq.shape[1])
-    out = acc.astype(jnp.float32) * (jnp.float32(sx) * jnp.float32(sw))
     if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    return out
+        bq = jnp.rint(bias.astype(jnp.float32) / s_out)
+        bq = jnp.clip(bq, -2.0**31, 2.0**31 - 1).astype(jnp.int32)
+        acc = acc + bq
+    return acc.astype(jnp.float32) * s_out
 
 
 def int8_linear(xq, sx, wq, sw, bias=None, impl: str = "auto"):
