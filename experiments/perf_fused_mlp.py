@@ -6,7 +6,7 @@ from functools import partial
 
 sys.path.insert(0, "/root/repo")
 from vit_fpga_tpu.ops.fused_mlp import fused_mlp_pallas, fused_mlp_xla
-from vit_fpga_tpu.utils.timing import time_device_loop
+from vit_fpga_tpu.utils.timing import time_device_loop_single
 
 T, D, M = 64 * 256, 768, 3072  # batch 64, padded seq 256
 key = jax.random.key(0)
@@ -22,18 +22,15 @@ b2 = jax.device_put(jnp.zeros((D,), jnp.float32))
 flops = 4 * T * D * M
 
 def report(name, fn):
-    t = time_device_loop(fn, (s, b, w1, b1, w2, b2, x), n_lo=4, n_hi=20,
-                         reps=3)
+    t = time_device_loop_single(fn, (s, b, w1, b1, w2, b2, x), n=16,
+                                reps=3)
     print(f"{name:28s} {t*1e3:7.3f} ms  {flops/t/1e12:6.1f} TF/s", flush=True)
 
 def xla(s, b, w1, b1, w2, b2, x):
     return fused_mlp_xla(x, s, b, w1, b1, w2, b2)
 
-report("xla mlp (erf gelu)", xla)
-for bt in (256, 512, 1024):
-    report(f"pallas fused mlp bt={bt}",
-           partial(lambda s, b, w1, b1, w2, b2, x, bt: fused_mlp_pallas(
-               x, s, b, w1, b1, w2, b2, block_t=bt), bt=bt))
+# erf variant measured: 1.435ms / 107.7 TF/s
+
 def xla_tanh(s, b, w1, b1, w2, b2, x):
     return fused_mlp_xla(x, s, b, w1, b1, w2, b2, act="gelu_tanh")
 report("xla mlp (tanh gelu)", xla_tanh)

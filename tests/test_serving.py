@@ -70,3 +70,23 @@ def test_decode_resizes():
     img = np.random.default_rng(2).integers(0, 256, (64, 48, 3), np.uint8)
     out = decode_jpeg(_jpeg_bytes(img), 32)
     assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+
+
+def test_serving_device_failure_isolated():
+    """A forward that raises must fail that batch's futures, not the
+    server (the batcher thread keeps serving later batches)."""
+    calls = {"n": 0}
+
+    def flaky(batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("device exploded")
+        import jax.numpy as jnp
+        return jnp.zeros((batch.shape[0], 4), jnp.float32)
+
+    with ImageServer(flaky, image_size=8, batch_size=1) as server:
+        bad = server.submit_raw(np.zeros((8, 8, 3), np.uint8))
+        with pytest.raises(RuntimeError):
+            bad.result(timeout=30)
+        good = server.submit_raw(np.zeros((8, 8, 3), np.uint8))
+        assert good.result(timeout=30).shape == (4,)

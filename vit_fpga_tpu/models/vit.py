@@ -53,6 +53,7 @@ class ViTConfig:
     attn_impl: str = "auto"          # auto | pallas | xla
     pool: str = "cls"                # cls | gap
     hidden_act: str = "gelu"         # gelu (erf) | gelu_tanh | quick_gelu
+    mlp_impl: str = "auto"           # auto | pallas (fused) | xla
     remat: bool = False              # jax.checkpoint each block (training)
     mean: Tuple[float, ...] = IMAGENET_MEAN
     std: Tuple[float, ...] = IMAGENET_STD
@@ -215,6 +216,24 @@ def _block(x, blk, cfg: ViTConfig):
     o = mha_qkv(qkv, cfg.num_heads, impl=cfg.attn_impl)
     x = x + (o @ blk["wo"].astype(dt) + blk["bo"].astype(dt))
 
+    mlp_impl = cfg.mlp_impl
+    if mlp_impl == "auto":
+        # fused kernel needs both weight mats VMEM-resident (~<12MB)
+        fits = (cfg.hidden_dim * cfg.mlp_dim * 2 * 2) < 12 * 1024 * 1024
+        mlp_impl = ("pallas" if jax.default_backend() == "tpu" and fits
+                    else "xla")
+    act_name = cfg.hidden_act
+    if act_name == "gelu" and dt == jnp.bfloat16:
+        act_name = "gelu_tanh"  # see _hidden_act
+    if mlp_impl == "pallas" and act_name == "gelu":
+        mlp_impl = "xla"  # Mosaic has no erf/erfc lowering (f32 mode)
+    if mlp_impl == "pallas":
+        from ..ops.fused_mlp import fused_mlp_pallas
+        x2 = fused_mlp_pallas(
+            x.reshape(b * n, d), blk["ln2_scale"], blk["ln2_bias"],
+            blk["w1"].astype(dt), blk["b1"], blk["w2"].astype(dt),
+            blk["b2"], eps=cfg.ln_eps, act=act_name)
+        return x2.reshape(b, n, d)
     h = _layernorm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
     h = h @ blk["w1"].astype(dt) + blk["b1"].astype(dt)
     h = _hidden_act(h, cfg.hidden_act)

@@ -26,6 +26,9 @@ from .common import round_up
 
 def _act(h, kind: str):
     if kind == "gelu":
+        # NOTE: compiles only in interpret mode / CPU — Mosaic has no
+        # erf/erfc lowering. On TPU pass act="gelu_tanh" (in bf16 the
+        # difference is far below representable precision).
         return jax.nn.gelu(h, approximate=False)
     if kind == "gelu_tanh":
         return jax.nn.gelu(h, approximate=True)

@@ -124,7 +124,13 @@ class ImageServer:
                              np.uint8)
             for i, (img, _) in enumerate(items):
                 batch[i] = img
-            out = self._fwd(jnp.asarray(batch))  # async dispatch
+            try:
+                out = self._fwd(jnp.asarray(batch))  # async dispatch
+            except Exception as e:  # fail the batch, keep serving
+                for _, fut in items:
+                    if not fut.cancelled():
+                        fut.set_exception(e)
+                continue
             self._dispatched.put((out, [f for _, f in items], n))
             self.batches += 1
 
@@ -134,7 +140,13 @@ class ImageServer:
                 out, futs, n = self._dispatched.get(timeout=0.05)
             except queue.Empty:
                 continue
-            rows = np.asarray(out)[:n]  # blocks until device completes
+            try:
+                rows = np.asarray(out)[:n]  # blocks until device completes
+            except Exception as e:  # async device failure surfaces here
+                for fut in futs:
+                    if not fut.cancelled():
+                        fut.set_exception(e)
+                continue
             for i, fut in enumerate(futs):
                 if not fut.cancelled():
                     fut.set_result(rows[i])

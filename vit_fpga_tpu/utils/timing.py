@@ -56,6 +56,57 @@ def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 3,
                   min_s=samples[0], max_s=samples[-1], iters=n)
 
 
+_roundtrip_cache: dict = {}
+
+
+def _roundtrip_s(reps: int = 5) -> float:
+    """Best-case host->device->host latency of fetching one jitted scalar
+    (compiled once per process; used to de-bias single-loop timings)."""
+    import jax.numpy as jnp
+    if "fn" not in _roundtrip_cache:
+        _roundtrip_cache["fn"] = jax.jit(lambda x: jnp.sum(x) * 1.000001)
+        float(_roundtrip_cache["fn"](jnp.ones((8, 8))))  # compile
+    fn = _roundtrip_cache["fn"]
+    x = jnp.ones((8, 8))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def time_device_loop_single(fn: Callable, args: tuple, n: int = 16,
+                            reps: int = 3) -> float:
+    """Like :func:`time_device_loop` but compiles only ONE loop program
+    (for transports where each compile costs minutes): measures T(n),
+    subtracts the cached scalar-fetch roundtrip, divides by n."""
+    import jax.numpy as jnp
+
+    def loop(*args):
+        first = args[-1]
+
+        def body(i, carry):
+            acc, a = carry
+            out = fn(*args[:-1], a)
+            s = jnp.sum(out).astype(jnp.float32)
+            a = a + (s * 1e-37).astype(a.dtype)
+            return acc + s, a
+
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), first))
+        return acc
+
+    jl = jax.jit(loop)
+    float(jl(*args))  # compile + warm
+    rt = _roundtrip_s()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(jl(*args))
+        best = min(best, time.perf_counter() - t0)
+    return max((best - rt) / n, 1e-9)
+
+
 def time_device_loop(fn: Callable, args: tuple, n_lo: int = 4,
                      n_hi: int = 20, reps: int = 3) -> float:
     """Seconds per ``fn(*args)`` call measured ON DEVICE, tunnel-proof.
