@@ -201,6 +201,17 @@ def preprocess(images_u8: jax.Array, cfg: ViTConfig) -> jax.Array:
     return x.astype(cfg.compute_dtype)
 
 
+def _attn_block_fits(cfg: ViTConfig) -> bool:
+    """VMEM budget check for the fused attention-half mega-kernel."""
+    d = cfg.hidden_dim
+    n_pad = ((cfg.seq_len + 127) // 128) * 128
+    itemsize = 2 if cfg.dtype == "bfloat16" else 4
+    weights = (3 * d * d + d * d) * itemsize
+    scores = cfg.num_heads * n_pad * n_pad * 4
+    acts = n_pad * (3 * d + 3 * d) * itemsize
+    return weights + scores + acts <= 12 * 1024 * 1024
+
+
 def _block(x, blk, cfg: ViTConfig):
     """One pre-LN transformer block. ``blk`` holds this layer's params.
 
@@ -211,10 +222,22 @@ def _block(x, blk, cfg: ViTConfig):
     b, n, d = x.shape
     dt = cfg.compute_dtype
 
-    h = _layernorm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
-    qkv = h @ blk["wqkv"].astype(dt) + blk["bqkv"].astype(dt)
-    o = mha_qkv(qkv, cfg.num_heads, impl=cfg.attn_impl)
-    x = x + (o @ blk["wo"].astype(dt) + blk["bo"].astype(dt))
+    attn_impl = cfg.attn_impl
+    if attn_impl == "auto":
+        attn_impl = ("pallas" if jax.default_backend() == "tpu"
+                     else "xla")
+    if attn_impl == "pallas" and _attn_block_fits(cfg):
+        # whole attention half in one kernel (LN+QKV+MHA+proj+residual)
+        from ..ops.attn_block import attn_block_pallas
+        x = attn_block_pallas(
+            x, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
+            blk["bqkv"], blk["wo"], blk["bo"], cfg.num_heads,
+            eps=cfg.ln_eps)
+    else:
+        h = _layernorm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
+        qkv = h @ blk["wqkv"].astype(dt) + blk["bqkv"].astype(dt)
+        o = mha_qkv(qkv, cfg.num_heads, impl=attn_impl)
+        x = x + (o @ blk["wo"].astype(dt) + blk["bo"].astype(dt))
 
     mlp_impl = cfg.mlp_impl
     if mlp_impl == "auto":

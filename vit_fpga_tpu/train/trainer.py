@@ -48,7 +48,14 @@ def make_vit_train_step(cfg: vit.ViTConfig, optimizer: optax.GradientTransformat
                         mesh: Optional[Mesh] = None,
                         donate: bool = True) -> Callable:
     """Build ``step(params, opt_state, images, labels) ->
-    (params, opt_state, metrics)``, jitted (and mesh-sharded if given)."""
+    (params, opt_state, metrics)``, jitted (and mesh-sharded if given).
+
+    Training always runs the XLA op implementations: the fused Pallas
+    inference kernels define no custom VJP (yet), and XLA's autodiff'd
+    graph is the right training path regardless.
+    """
+    import dataclasses
+    cfg = dataclasses.replace(cfg, attn_impl="xla", mlp_impl="xla")
 
     def step(params, opt_state, images, labels):
         (loss, acc), grads = jax.value_and_grad(
