@@ -44,28 +44,64 @@ def main(argv):
     attn = opts.get("attn", str, "auto")
     json_only = opts.get("json_only", bool, True)
 
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
     import jax
     import jax.numpy as jnp
     from vit_fpga_tpu.models import vit
     from vit_fpga_tpu.ops.common import V5E_BF16_FLOPS
     from vit_fpga_tpu.utils.timing import time_device_loop
 
-    cfg = vit.config(model, image_size=image, dtype=dtype, attn_impl=attn)
-    params = jax.device_put(vit.init_params(jax.random.key(0), cfg))
+    is_clip = model.startswith("clip_")
+    if is_clip:
+        from vit_fpga_tpu.models import clip
+        cfg = clip.clip_vision_config(model.removeprefix("clip_"),
+                                      image_size=image, dtype=dtype,
+                                      attn_impl=attn)
+        params = jax.device_put(
+            clip.init_params(jax.random.key(0), cfg, projection_dim=768))
+    else:
+        cfg = vit.config(model, image_size=image, dtype=dtype,
+                         attn_impl=attn)
+        params = jax.device_put(vit.init_params(jax.random.key(0), cfg))
     images = jax.device_put(
         jax.random.normal(jax.random.key(1), (batch, image, image, 3),
                           jnp.float32).astype(cfg.compute_dtype))
 
-    def fwd(p, x):
-        return vit.forward(p, x, cfg)
+    if dtype == "int8":
+        from vit_fpga_tpu.models import quantized
+        qparams = jax.device_put(quantized.quantize_vit(params))
 
-    sec_per_call = time_device_loop(fwd, (params, images),
+        def fwd(p, x):
+            return quantized.vit_forward_int8(p, x, cfg)
+
+        run_params = qparams
+    else:
+        if is_clip:
+            from vit_fpga_tpu.models import clip as _clip
+
+            def fwd(p, x):
+                return _clip.forward(p, x, cfg)
+        else:
+            def fwd(p, x):
+                return vit.forward(p, x, cfg)
+
+        run_params = params
+
+    sec_per_call = time_device_loop(fwd, (run_params, images),
                                     n_lo=inner, n_hi=inner + iters,
                                     reps=3)
     imgs_per_s = batch / sec_per_call
 
     flops = vit_flops_per_image(cfg)
-    peak = V5E_BF16_FLOPS if dtype == "bfloat16" else V5E_BF16_FLOPS / 2
+    if dtype == "bfloat16":
+        peak = V5E_BF16_FLOPS
+    elif dtype == "int8":
+        peak = 2 * V5E_BF16_FLOPS   # v5e int8 = 394 TOPS
+    else:
+        peak = V5E_BF16_FLOPS / 2   # f32 full-precision mode
     roofline = peak / flops
     mfu = imgs_per_s / roofline
 

@@ -86,6 +86,27 @@ int vft_filter_image(vft_net* net, const uint8_t* pixels, size_t h,
 int vft_get_filtered_image(vft_net* net, uint8_t* out, size_t h, size_t w,
                            int64_t* x_pos, int64_t* y_pos);
 
+// ---------------------------------------------------------------------------
+// ViT model family (drives the JAX runtime via the embedded interpreter;
+// requires a VFT_BACKEND_TPU-capable build). Raw uint8 RGB images in ->
+// f32 class logits out, preprocessing fused on device.
+// ---------------------------------------------------------------------------
+
+typedef struct vft_vit vft_vit;
+
+// variant: vit_ti16 | vit_s16 | vit_b16 | vit_b32 | vit_l16 | vit_l14 |
+// vit_h14. dtype: "bfloat16" | "float32". weights_npz: path to a params
+// .npz saved by utils/checkpoint.save_params, or NULL for seeded init.
+vft_vit* vft_vit_create(const char* variant, size_t image_size,
+                        size_t num_classes, unsigned seed,
+                        const char* dtype, const char* weights_npz);
+// pixels: batch*h*w*3 uint8 RGB; logits_out: batch*num_classes floats.
+int vft_vit_forward(vft_vit* vit, const uint8_t* pixels, size_t batch,
+                    size_t h, size_t w, float* logits_out,
+                    size_t logits_len);
+size_t vft_vit_num_classes(const vft_vit* vit);
+void vft_vit_destroy(vft_vit* vit);
+
 // Last error message for this thread ("" if none).
 const char* vft_last_error(void);
 

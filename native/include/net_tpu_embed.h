@@ -44,6 +44,21 @@ class NetTpu : public NetInterface {
   std::vector<std::int32_t> activations_;
 };
 
+// ViT model family over the embedded interpreter (C API backing).
+namespace vit_embed {
+
+// Returns a bridge handle (> 0) or throws net::utils::Error.
+long long create(const std::string& variant, std::size_t image_size,
+                 std::size_t num_classes, unsigned seed,
+                 const std::string& dtype, const std::string& weights_npz);
+// pixels is batch*h*w*3 uint8 RGB; returns batch*num_classes logits.
+std::vector<float> forward(long long handle, const std::uint8_t* pixels,
+                           std::size_t batch, std::size_t h,
+                           std::size_t w);
+void destroy(long long handle);
+
+}  // namespace vit_embed
+
 }  // namespace net
 
 #endif  // VFT_NET_TPU_EMBED_H

@@ -210,6 +210,68 @@ int vft_get_filtered_image(vft_net* net, uint8_t* out, size_t h, size_t w,
   }
 }
 
+// -- ViT family ---------------------------------------------------------
+
+struct vft_vit {
+  long long handle = 0;
+  size_t num_classes = 0;
+};
+
+vft_vit* vft_vit_create(const char* variant, size_t image_size,
+                        size_t num_classes, unsigned seed,
+                        const char* dtype, const char* weights_npz) {
+#ifdef VFT_WITH_PYTHON
+  try {
+    auto v = std::make_unique<vft_vit>();
+    v->handle = net::vit_embed::create(
+        variant ? variant : "vit_b16", image_size, num_classes, seed,
+        dtype ? dtype : "bfloat16", weights_npz ? weights_npz : "");
+    v->num_classes = num_classes;
+    return v.release();
+  } catch (const std::exception& e) {
+    set_error(e.what());
+    return nullptr;
+  }
+#else
+  (void)variant; (void)image_size; (void)num_classes; (void)seed;
+  (void)dtype; (void)weights_npz;
+  set_error("library built without embedded-Python support");
+  return nullptr;
+#endif
+}
+
+int vft_vit_forward(vft_vit* vit, const uint8_t* pixels, size_t batch,
+                    size_t h, size_t w, float* logits_out,
+                    size_t logits_len) {
+#ifdef VFT_WITH_PYTHON
+  try {
+    auto out = net::vit_embed::forward(vit->handle, pixels, batch, h, w);
+    VFT_CHECK(out.size() == logits_len,
+              "logits buffer " << logits_len << " != " << out.size());
+    std::memcpy(logits_out, out.data(), out.size() * sizeof(float));
+    return 0;
+  } catch (const std::exception& e) {
+    set_error(e.what());
+    return -1;
+  }
+#else
+  (void)vit; (void)pixels; (void)batch; (void)h; (void)w;
+  (void)logits_out; (void)logits_len;
+  set_error("library built without embedded-Python support");
+  return -1;
+#endif
+}
+
+size_t vft_vit_num_classes(const vft_vit* vit) { return vit->num_classes; }
+
+void vft_vit_destroy(vft_vit* vit) {
+  if (vit == nullptr) return;
+#ifdef VFT_WITH_PYTHON
+  net::vit_embed::destroy(vit->handle);
+#endif
+  delete vit;
+}
+
 const char* vft_last_error(void) { return t_last_error.c_str(); }
 
 const char* vft_version(void) { return "0.1.0"; }

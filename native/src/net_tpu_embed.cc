@@ -247,4 +247,49 @@ ImageFrame NetTpu::get_filtered_image() {
   return out;
 }
 
+namespace vit_embed {
+
+long long create(const std::string& variant, std::size_t image_size,
+                 std::size_t num_classes, unsigned seed,
+                 const std::string& dtype,
+                 const std::string& weights_npz) {
+  ensure_python();
+  Gil gil;
+  PyObject* h = PyObject_CallMethod(
+      bridge(), "vit_create", "(snniss)", variant.c_str(),
+      static_cast<Py_ssize_t>(image_size),
+      static_cast<Py_ssize_t>(num_classes), static_cast<int>(seed),
+      dtype.c_str(), weights_npz.c_str());
+  if (h == nullptr) raise_py_error("vit_create");
+  long long handle = PyLong_AsLongLong(h);
+  Py_DECREF(h);
+  return handle;
+}
+
+std::vector<float> forward(long long handle, const std::uint8_t* pixels,
+                           std::size_t batch, std::size_t h,
+                           std::size_t w) {
+  Gil gil;
+  PyObject* r = PyObject_CallMethod(
+      bridge(), "vit_forward", "(Ly#nnn)", handle,
+      reinterpret_cast<const char*>(pixels),
+      static_cast<Py_ssize_t>(batch * h * w * 3),
+      static_cast<Py_ssize_t>(batch), static_cast<Py_ssize_t>(h),
+      static_cast<Py_ssize_t>(w));
+  if (r == nullptr) raise_py_error("vit_forward");
+  auto out = bytes_to_floats(r, "vit_forward");
+  Py_DECREF(r);
+  return out;
+}
+
+void destroy(long long handle) {
+  if (!Py_IsInitialized()) return;
+  Gil gil;
+  PyObject* r = PyObject_CallMethod(bridge(), "vit_destroy", "(L)", handle);
+  Py_XDECREF(r);
+  PyErr_Clear();
+}
+
+}  // namespace vit_embed
+
 }  // namespace net

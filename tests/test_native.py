@@ -114,3 +114,42 @@ def test_random_init_reproducible():
     x = np.ones(4, np.float32)
     np.testing.assert_array_equal(a.launch_forward(x),
                                   b.launch_forward(x))
+
+
+def test_vit_through_c_api():
+    """ViT-Tiny through the native C API (BASELINE config 1 shape):
+    raw uint8 image in -> logits out, via ctypes -> C++ -> bridge."""
+    import ctypes
+    from vit_fpga_tpu.native import load_library
+    lib = load_library()
+    lib.vft_vit_create.restype = ctypes.c_void_p
+    lib.vft_vit_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_uint,
+        ctypes.c_char_p, ctypes.c_char_p]
+    lib.vft_vit_forward.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.c_size_t, ctypes.c_size_t, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_size_t]
+    lib.vft_vit_destroy.argtypes = [ctypes.c_void_p]
+
+    h = lib.vft_vit_create(b"vit_ti16", 224, 10, 0, b"float32", None)
+    assert h, lib.vft_last_error().decode()
+    img = np.random.default_rng(0).integers(
+        0, 256, (1, 224, 224, 3), np.uint8)
+    logits = np.zeros(10, np.float32)
+    rc = lib.vft_vit_forward(
+        h, img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 1, 224,
+        224, logits.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 10)
+    assert rc == 0, lib.vft_last_error().decode()
+    assert np.all(np.isfinite(logits)) and np.any(logits != 0)
+
+    # parity vs the Python model with the same seed
+    import jax
+    from vit_fpga_tpu.models import vit
+    cfg = vit.config("vit_ti16", image_size=224, num_classes=10,
+                     dtype="float32")
+    params = vit.init_params(jax.random.key(0), cfg)
+    import jax.numpy as jnp
+    want = np.asarray(vit.forward_raw(params, jnp.asarray(img), cfg))[0]
+    np.testing.assert_allclose(logits, want, rtol=1e-4, atol=1e-4)
+    lib.vft_vit_destroy(h)

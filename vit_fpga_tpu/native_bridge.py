@@ -117,6 +117,53 @@ def filter_image(handle: int, pix_bytes: bytes, h: int, w: int,
     return 1 if net._ring.dropped > before else 0
 
 
+# ---------------------------------------------------------------------------
+# ViT model family over the FFI (BASELINE config 1: ViT through the
+# preserved native API).
+# ---------------------------------------------------------------------------
+
+_vit_registry: Dict[int, tuple] = {}
+
+
+def vit_create(variant: str, image_size: int, num_classes: int,
+               seed: int, dtype: str, weights_npz: str) -> int:
+    global _next_id
+    import jax
+    from .models import vit
+    cfg = vit.config(variant, image_size=image_size,
+                     num_classes=num_classes, dtype=dtype)
+    if weights_npz:
+        from .utils.checkpoint import load_params
+        params = load_params(weights_npz)
+    else:
+        params = vit.init_params(jax.random.key(seed), cfg)
+    params = jax.device_put(params)
+    fwd = vit.jit_forward(cfg, raw=True)
+    with _lock:
+        _next_id += 1
+        handle = _next_id
+        _vit_registry[handle] = (cfg, params, fwd)
+    return handle
+
+
+def vit_forward(handle: int, pixels: bytes, batch: int, h: int,
+                w: int) -> bytes:
+    import jax.numpy as jnp
+    cfg, params, fwd = _vit_registry[handle]
+    imgs = np.frombuffer(pixels, dtype=np.uint8).reshape(batch, h, w, 3)
+    logits = fwd(params, jnp.asarray(imgs))
+    return np.ascontiguousarray(logits, dtype=np.float32).tobytes()
+
+
+def vit_num_classes(handle: int) -> int:
+    return int(_vit_registry[handle][0].num_classes)
+
+
+def vit_destroy(handle: int) -> None:
+    with _lock:
+        _vit_registry.pop(handle, None)
+
+
 def get_filtered_image(handle: int) -> Tuple[int, bytes, int, int, int, int]:
     out = _net(handle).get_filtered_image()
     if out.empty:
