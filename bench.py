@@ -111,7 +111,8 @@ def main(argv):
               f"flops/img={flops / 1e9:.1f}G roofline={roofline:.0f}img/s "
               f"backend={jax.default_backend()}", file=sys.stderr)
     print(json.dumps({
-        "metric": f"{model}@{image}px bf16 batch-{batch} inference throughput",
+        "metric": f"{model}@{image}px {dtype} batch-{batch} "
+                  "inference throughput",
         "value": round(imgs_per_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(mfu, 4),

@@ -249,7 +249,10 @@ def mha(q, k, v, n_valid: int | None = None, impl: str = "auto"):
     """
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and q.shape[2] >= 1024) else "xla"
+        impl = "flash" if (on_tpu and q.shape[2] >= 1024) else "xla"
+    if impl == "flash":
+        from .flash_attention import flash_attention
+        return flash_attention(q, k, v, n_valid=n_valid)
     if impl == "pallas":
         return mha_pallas(q, k, v, n_valid=n_valid)
     return mha_xla(q, k, v, n_valid=n_valid)
