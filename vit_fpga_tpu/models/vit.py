@@ -227,12 +227,13 @@ def _block(x, blk, cfg: ViTConfig):
         attn_impl = ("pallas" if jax.default_backend() == "tpu"
                      else "xla")
     if attn_impl == "pallas" and _attn_block_fits(cfg):
-        # whole attention half in one kernel (LN+QKV+MHA+proj+residual)
-        from ..ops.attn_block import attn_block_pallas
-        x = attn_block_pallas(
+        # whole attention half in one kernel (LN+QKV+MHA+proj+residual);
+        # differentiable (Pallas fwd, XLA-recompute bwd)
+        from ..ops.attn_block import attn_block
+        x = attn_block(
             x, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
             blk["bqkv"], blk["wo"], blk["bo"], cfg.num_heads,
-            eps=cfg.ln_eps)
+            cfg.ln_eps)
     else:
         h = _layernorm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
         qkv = h @ blk["wqkv"].astype(dt) + blk["bqkv"].astype(dt)
@@ -251,11 +252,11 @@ def _block(x, blk, cfg: ViTConfig):
     if mlp_impl == "pallas" and act_name == "gelu":
         mlp_impl = "xla"  # Mosaic has no erf/erfc lowering (f32 mode)
     if mlp_impl == "pallas":
-        from ..ops.fused_mlp import fused_mlp_pallas
-        x2 = fused_mlp_pallas(
+        from ..ops.fused_mlp import fused_mlp
+        x2 = fused_mlp(
             x.reshape(b * n, d), blk["ln2_scale"], blk["ln2_bias"],
             blk["w1"].astype(dt), blk["b1"], blk["w2"].astype(dt),
-            blk["b2"], eps=cfg.ln_eps, act=act_name)
+            blk["b2"], cfg.ln_eps, act_name)
         return x2.reshape(b, n, d)
     h = _layernorm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
     h = h @ blk["w1"].astype(dt) + blk["b1"].astype(dt)

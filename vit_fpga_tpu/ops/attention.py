@@ -228,13 +228,34 @@ def mha_qkv_xla(qkv, num_heads: int, n_valid: int | None = None):
     return o.reshape(b, n, d)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _mha_qkv_diff(qkv, num_heads: int, n_valid):
+    """Differentiable packed-qkv attention: Pallas forward, XLA-recompute
+    backward (rematerialization)."""
+    return mha_qkv_pallas(qkv, num_heads, n_valid=n_valid)
+
+
+def _mha_qkv_fwd(qkv, num_heads, n_valid):
+    return mha_qkv_pallas(qkv, num_heads, n_valid=n_valid), (qkv,)
+
+
+def _mha_qkv_bwd(num_heads, n_valid, res, g):
+    (qkv,) = res
+    _, vjp = jax.vjp(
+        lambda a: mha_qkv_xla(a, num_heads, n_valid=n_valid), qkv)
+    return vjp(g)
+
+
+_mha_qkv_diff.defvjp(_mha_qkv_fwd, _mha_qkv_bwd)
+
+
 def mha_qkv(qkv, num_heads: int, n_valid: int | None = None,
             impl: str = "auto"):
     """Packed-qkv attention dispatch (the model hot path)."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        return mha_qkv_pallas(qkv, num_heads, n_valid=n_valid)
+        return _mha_qkv_diff(qkv, num_heads, n_valid)
     return mha_qkv_xla(qkv, num_heads, n_valid=n_valid)
 
 

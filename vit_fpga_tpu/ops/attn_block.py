@@ -128,6 +128,30 @@ def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
     return out[:, :n, :]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, num_heads: int,
+               eps: float):
+    """Differentiable fused attention half: Pallas forward, XLA-recompute
+    backward (rematerialization; see ops/fused_mlp.py)."""
+    return attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                             num_heads, eps=eps)
+
+
+def _attn_block_fwd(x, ls, lb, wqkv, bqkv, wo, bo, num_heads, eps):
+    out = attn_block_pallas(x, ls, lb, wqkv, bqkv, wo, bo, num_heads,
+                            eps=eps)
+    return out, (x, ls, lb, wqkv, bqkv, wo, bo)
+
+
+def _attn_block_bwd(num_heads, eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: attn_block_xla(*a, num_heads=num_heads, eps=eps), *res)
+    return vjp(g)
+
+
+attn_block.defvjp(_attn_block_fwd, _attn_block_bwd)
+
+
 def attn_block_xla(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                    num_heads: int, eps: float = 1e-6,
                    n_valid: int | None = None):

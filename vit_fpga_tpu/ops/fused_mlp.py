@@ -103,6 +103,33 @@ def fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
     return out[:t]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float,
+              act: str):
+    """Differentiable fused MLP: Pallas forward, XLA-recompute backward.
+
+    The backward pass re-runs the (autodiff-able) XLA reference and pulls
+    its VJP — a rematerialization strategy: training still gets the fused
+    forward, and the backward is exactly XLA's gradient graph.
+    """
+    return fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                            eps=eps, act=act)
+
+
+def _fused_mlp_fwd(x, s, b, w1, b1, w2, b2, eps, act):
+    out = fused_mlp_pallas(x, s, b, w1, b1, w2, b2, eps=eps, act=act)
+    return out, (x, s, b, w1, b1, w2, b2)
+
+
+def _fused_mlp_bwd(eps, act, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: fused_mlp_xla(*a, eps=eps, act=act), *res)
+    return vjp(g)
+
+
+fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
 def fused_mlp_xla(x, ln_scale, ln_bias, w1, b1, w2, b2,
                   eps: float = 1e-6, act: str = "gelu"):
     """Reference implementation with identical semantics."""

@@ -50,12 +50,10 @@ def make_vit_train_step(cfg: vit.ViTConfig, optimizer: optax.GradientTransformat
     """Build ``step(params, opt_state, images, labels) ->
     (params, opt_state, metrics)``, jitted (and mesh-sharded if given).
 
-    Training always runs the XLA op implementations: the fused Pallas
-    inference kernels define no custom VJP (yet), and XLA's autodiff'd
-    graph is the right training path regardless.
+    The fused Pallas kernels carry custom VJPs (Pallas forward,
+    XLA-recompute backward), so training uses whatever implementations
+    the config selects — fused forwards on TPU, XLA everywhere else.
     """
-    import dataclasses
-    cfg = dataclasses.replace(cfg, attn_impl="xla", mlp_impl="xla")
 
     def step(params, opt_state, images, labels):
         (loss, acc), grads = jax.value_and_grad(
