@@ -71,11 +71,13 @@ def main(argv):
                           jnp.float32).astype(cfg.compute_dtype))
 
     if dtype == "int8":
+        # fast row-wise fused path (the per-tensor bit-exact path is the
+        # parity harness, not the serving path)
         from vit_fpga_tpu.models import quantized
-        qparams = jax.device_put(quantized.quantize_vit(params))
+        qparams = jax.device_put(quantized.quantize_vit_fast(params))
 
         def fwd(p, x):
-            return quantized.vit_forward_int8(p, x, cfg)
+            return quantized.vit_forward_int8_fast(p, x, cfg)
 
         run_params = qparams
     else:

@@ -170,3 +170,88 @@ def vit_forward_int8(qparams: Params, images: jax.Array,
 
 def jit_vit_forward_int8(cfg: vit_mod.ViTConfig, impl: str = "auto"):
     return jax.jit(partial(vit_forward_int8, cfg=cfg, impl=impl))
+
+
+# ---------------------------------------------------------------------------
+# FAST int8 ViT: fused row-wise kernels (ops/quant_fused.py). Tolerance
+# parity; the per-tensor path above keeps the bit-exact contract.
+# ---------------------------------------------------------------------------
+
+def quantize_vit_fast(params: Params) -> Params:
+    """Per-output-column int8 weights for the fused kernels."""
+    from ..ops.quant_fused import quantize_weight_colwise as qc
+
+    def q(w):
+        wq, ws = qc(np.asarray(w, np.float32))
+        return jnp.asarray(wq), jnp.asarray(ws)
+
+    out: Params = {
+        "cls_token": jnp.asarray(params["cls_token"]),
+        "pos_embed": jnp.asarray(params["pos_embed"]),
+        "ln_f_scale": jnp.asarray(params["ln_f_scale"]),
+        "ln_f_bias": jnp.asarray(params["ln_f_bias"]),
+        "blocks": {},
+    }
+    pe_q, pe_s = q(params["patch_embed"]["kernel"])
+    out["patch_embed"] = {"wq": pe_q, "ws": pe_s,
+                          "b": jnp.asarray(params["patch_embed"]["bias"])}
+    blocks = params["blocks"]
+    for k in ("ln1_scale", "ln1_bias", "ln2_scale", "ln2_bias",
+              "bqkv", "bo", "b1", "b2"):
+        out["blocks"][k] = jnp.asarray(blocks[k])
+    for k in _VIT_QUANT_KEYS:
+        w = np.asarray(blocks[k], np.float32)
+        qs = [qc(w[i]) for i in range(w.shape[0])]
+        out["blocks"][k + "_q"] = jnp.asarray(np.stack([a for a, _ in qs]))
+        out["blocks"][k + "_s"] = jnp.asarray(np.stack([s for _, s in qs]))
+    if "head" in params:
+        h_q, h_s = q(params["head"]["kernel"])
+        out["head"] = {"wq": h_q, "ws": h_s,
+                       "b": jnp.asarray(params["head"]["bias"])}
+    return out
+
+
+def _fused_lin(x3d, wq, ws, b, act="none"):
+    from ..ops.quant_fused import int8_linear_fused
+    bsz, n, _ = x3d.shape
+    out = int8_linear_fused(x3d.reshape(bsz * n, -1), wq, ws, b, act=act)
+    return out.reshape(bsz, n, -1)
+
+
+def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig):
+    b, n, d = x.shape
+    h = vit_mod._layernorm(x, blk["ln1_scale"], blk["ln1_bias"],
+                           cfg.ln_eps)
+    qkv = _fused_lin(h, blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"])
+    o = mha_qkv(qkv, cfg.num_heads, impl=cfg.attn_impl)
+    x = x + _fused_lin(o, blk["wo_q"], blk["wo_s"], blk["bo"])
+    h = vit_mod._layernorm(x, blk["ln2_scale"], blk["ln2_bias"],
+                           cfg.ln_eps)
+    act = "quick_gelu" if cfg.hidden_act == "quick_gelu" else "gelu_tanh"
+    h = _fused_lin(h, blk["w1_q"], blk["w1_s"], blk["b1"], act=act)
+    x = x + _fused_lin(h, blk["w2_q"], blk["w2_s"], blk["b2"])
+    return x
+
+
+def vit_forward_int8_fast(qparams: Params, images: jax.Array,
+                          cfg: vit_mod.ViTConfig) -> jax.Array:
+    """Fast int8 ViT: bf16 activations, fused row-wise int8 linears."""
+    dt = jnp.bfloat16
+    x = vit_mod.patchify(images.astype(dt), cfg.patch_size)
+    pe = qparams["patch_embed"]
+    x = _fused_lin(x, pe["wq"], pe["ws"], pe["b"])
+    b = x.shape[0]
+    cls = jnp.broadcast_to(qparams["cls_token"].astype(dt),
+                           (b, 1, cfg.hidden_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + qparams["pos_embed"].astype(dt)
+
+    def step(carry, blk):
+        return _qblock_fast(carry, blk, cfg), None
+
+    x, _ = jax.lax.scan(step, x, qparams["blocks"])
+    x = vit_mod._layernorm(x, qparams["ln_f_scale"], qparams["ln_f_bias"],
+                           cfg.ln_eps)
+    hd = qparams["head"]
+    return _fused_lin(x[:, :1], hd["wq"], hd["ws"], hd["b"])[:, 0].astype(
+        jnp.float32)
