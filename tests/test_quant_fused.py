@@ -57,3 +57,25 @@ def test_fast_int8_vit_tolerance(monkeypatch):
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
     assert rel < 0.3, f"fast int8 logits off by {rel:.3f}"
     assert (out.argmax(-1) == ref.argmax(-1)).mean() >= 0.5
+
+
+def test_fused_kernel_with_layernorm():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(40, 64)) * 3.0, jnp.float32)
+    ls = jnp.asarray(rng.normal(size=(64,)) * 0.1 + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32)
+    w = rng.normal(size=(64, 32)).astype(np.float32)
+    wq, ws = qf.quantize_weight_colwise(w)
+    b = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    # reference: LN (f32) then rowwise-int8 linear
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + 1e-6) * ls + lb
+    ref = qf.int8_linear_rowwise_ref(xn, jnp.asarray(wq), jnp.asarray(ws),
+                                     b)
+    out = qf.int8_linear_fused(x, jnp.asarray(wq), jnp.asarray(ws), b,
+                               ln_scale=ls, ln_bias=lb, ln_eps=1e-6,
+                               block_t=32, out_dtype=jnp.float32,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)

@@ -211,24 +211,28 @@ def quantize_vit_fast(params: Params) -> Params:
     return out
 
 
-def _fused_lin(x3d, wq, ws, b, act="none"):
+def _fused_lin(x3d, wq, ws, b, act="none", ln=None, eps=0.0):
     from ..ops.quant_fused import int8_linear_fused
     bsz, n, _ = x3d.shape
-    out = int8_linear_fused(x3d.reshape(bsz * n, -1), wq, ws, b, act=act)
+    ls, lb = (ln if ln is not None else (None, None))
+    out = int8_linear_fused(x3d.reshape(bsz * n, -1), wq, ws, b, act=act,
+                            ln_scale=ls, ln_bias=lb,
+                            ln_eps=eps if ln is not None else 0.0)
     return out.reshape(bsz, n, -1)
 
 
 def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig):
     b, n, d = x.shape
-    h = vit_mod._layernorm(x, blk["ln1_scale"], blk["ln1_bias"],
-                           cfg.ln_eps)
-    qkv = _fused_lin(h, blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"])
+    # LN1 fused into the quantizing qkv projection
+    qkv = _fused_lin(x, blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"],
+                     ln=(blk["ln1_scale"], blk["ln1_bias"]),
+                     eps=cfg.ln_eps)
     o = mha_qkv(qkv, cfg.num_heads, impl=cfg.attn_impl)
     x = x + _fused_lin(o, blk["wo_q"], blk["wo_s"], blk["bo"])
-    h = vit_mod._layernorm(x, blk["ln2_scale"], blk["ln2_bias"],
-                           cfg.ln_eps)
     act = "quick_gelu" if cfg.hidden_act == "quick_gelu" else "gelu_tanh"
-    h = _fused_lin(h, blk["w1_q"], blk["w1_s"], blk["b1"], act=act)
+    # LN2 fused into the quantizing w1 projection (+ activation)
+    h = _fused_lin(x, blk["w1_q"], blk["w1_s"], blk["b1"], act=act,
+                   ln=(blk["ln2_scale"], blk["ln2_bias"]), eps=cfg.ln_eps)
     x = x + _fused_lin(h, blk["w2_q"], blk["w2_s"], blk["b2"])
     return x
 

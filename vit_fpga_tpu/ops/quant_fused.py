@@ -43,8 +43,13 @@ def quantize_weight_colwise(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, scale
 
 
-def _fused_kernel(x_ref, wq_ref, ws_ref, b_ref, o_ref, *, act: str):
+def _fused_kernel(x_ref, ls_ref, lb_ref, wq_ref, ws_ref, b_ref, o_ref, *,
+                  act: str, ln_eps: float):
     x = x_ref[:].astype(jnp.float32)                      # (bt, K)
+    if ln_eps > 0.0:  # LayerNorm fused ahead of quantization
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        x = (x - mu) * jax.lax.rsqrt(var + ln_eps) * ls_ref[0] + lb_ref[0]
     absmax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
                          1e-12)
     sx = absmax / QMAX                                    # (bt, 1)
@@ -65,23 +70,36 @@ def _fused_kernel(x_ref, wq_ref, ws_ref, b_ref, o_ref, *, act: str):
     o_ref[:] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("act", "block_t", "out_dtype",
-                                             "interpret"))
+@functools.partial(jax.jit, static_argnames=("act", "ln_eps", "block_t",
+                                             "out_dtype", "interpret"))
 def int8_linear_fused(x, wq, ws, bias, act: str = "none",
+                      ln_scale=None, ln_bias=None, ln_eps: float = 0.0,
                       block_t: int = 512, out_dtype=jnp.bfloat16,
                       interpret: bool = False):
-    """x: (T, K) float; wq: (K, N) int8; ws: (N,) f32; bias: (N,) f32."""
+    """x: (T, K) float; wq: (K, N) int8; ws: (N,) f32; bias: (N,) f32.
+
+    With ``ln_eps > 0`` (and ln_scale/ln_bias), LayerNorm runs inside the
+    kernel ahead of quantization — the int8 block never round-trips the
+    normalized activations through HBM.
+    """
     t, k = x.shape
     n = wq.shape[1]
     tp = round_up(t, block_t)
     if tp != t:
         x = jnp.pad(x, ((0, tp - t), (0, 0)))
+    if ln_scale is None:
+        ln_scale = jnp.ones((k,), jnp.float32)
+        ln_bias = jnp.zeros((k,), jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, act=act),
+        functools.partial(_fused_kernel, act=act, ln_eps=ln_eps),
         grid=(tp // block_t,),
         in_specs=[
             pl.BlockSpec((block_t, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, n), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -98,7 +116,9 @@ def int8_linear_fused(x, wq, ws, bias, act: str = "none",
             bytes_accessed=tp * k * 2 + k * n + tp * n * 2,
             transcendentals=tp * n if act != "none" else 0),
         interpret=interpret,
-    )(x, wq, ws.reshape(1, -1).astype(jnp.float32),
+    )(x, ln_scale.reshape(1, -1).astype(jnp.float32),
+      ln_bias.reshape(1, -1).astype(jnp.float32),
+      wq, ws.reshape(1, -1).astype(jnp.float32),
       bias.reshape(1, -1).astype(jnp.float32))
     return out[:t]
 
