@@ -1,0 +1,24 @@
+"""CLI smoke tests (in-process; CPU platform via conftest)."""
+
+import numpy as np
+
+from vit_fpga_tpu.cli import main
+
+
+def test_cli_help_on_unknown():
+    assert main([]) == 2
+    assert main(["nope"]) == 2
+
+
+def test_cli_parity(capsys):
+    assert main(["parity", "n_ins=16"]) == 0
+    out = capsys.readouterr().out
+    assert "bit-exact=True" in out
+    assert "f32 device vs oracle" in out
+
+
+def test_cli_demo(capsys):
+    assert main(["demo", "n_ins=16"]) == 0
+    out = capsys.readouterr().out
+    assert "forward:" in out and "train:" in out and "pipeline:" in out
+    assert "FIFO=[0, 1, 2, 3]" in out
