@@ -21,9 +21,41 @@
 #include "net_tpu_embed.h"
 #endif
 
+static int vit_demo(const net::utils::Options& opts) {
+#ifdef VFT_WITH_PYTHON
+  const std::string variant = opts.get<std::string>("variant", "vit_ti16");
+  const std::size_t image = opts.get<std::size_t>("image", 224);
+  const std::size_t classes = opts.get<std::size_t>("classes", 10);
+  long long h = net::vit_embed::create(variant, image, classes, 0,
+                                       "bfloat16", "");
+  std::vector<std::uint8_t> img(image * image * 3);
+  for (std::size_t i = 0; i < img.size(); ++i)
+    img[i] = static_cast<std::uint8_t>((i * 31) % 251);
+  std::int64_t t0 = net::utils::now_ns();
+  auto logits = net::vit_embed::forward(h, img.data(), 1, image, image);
+  std::int64_t us = (net::utils::now_ns() - t0) / 1000;
+  std::printf("vit %s: %zu logits, first=%.4f, %lld us (incl. compile)\n",
+              variant.c_str(), logits.size(), logits[0],
+              static_cast<long long>(us));
+  t0 = net::utils::now_ns();
+  logits = net::vit_embed::forward(h, img.data(), 1, image, image);
+  us = (net::utils::now_ns() - t0) / 1000;
+  std::printf("vit %s warm: %lld us\n", variant.c_str(),
+              static_cast<long long>(us));
+  net::vit_embed::destroy(h);
+  std::puts("vit demo OK");
+  return 0;
+#else
+  (void)opts;
+  std::fprintf(stderr, "built without embedded python\n");
+  return 2;
+#endif
+}
+
 int main(int argc, char** argv) {
   net::utils::Options opts(argc, argv);
   const std::string backend = opts.get<std::string>("backend", "native");
+  if (backend == "vit") return vit_demo(opts);
   const std::size_t n_ins = opts.get<std::size_t>("n_ins", 64);
   const std::string layers = opts.get<std::string>("layers", "128,32,10");
   const std::size_t train_iters = opts.get<std::size_t>("train_iters", 100);

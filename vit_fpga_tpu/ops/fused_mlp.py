@@ -57,7 +57,7 @@ def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                                              "interpret"))
 def fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
                      eps: float = 1e-6, act: str = "gelu",
-                     block_t: int = 512, interpret: bool = False):
+                     block_t: int = 256, interpret: bool = False):
     """x: (T, D) tokens. Returns x + MLP(LN(x)), matching the model block.
 
     VMEM budget at ViT-B (D=768, M=3072, bf16, block_t=512): w1+w2 9.4 MB,
