@@ -32,8 +32,16 @@ class NetNative : public NetInterface {
                      FilterKind filter = FilterKind::kSharpen);
   ~NetNative() override;
 
-  NetNative(const NetNative&) = delete;
-  NetNative& operator=(const NetNative&) = delete;
+  // Copy semantics: weights/config are deep-copied; runtime state (ring
+  // contents, perf counters, staged training set) starts fresh in the
+  // copy.  The reference's copy-assign is accidentally a no-op for
+  // same-shape nets and its move ctor frees uninitialized pointers
+  // (SURVEY.md §3.6) — we implement the obviously-intended semantics.
+  // Moves stay deleted: the worker thread binds `this`.
+  NetNative(const NetNative& other);
+  NetNative& operator=(const NetNative& other);
+  NetNative(NetNative&&) = delete;
+  NetNative& operator=(NetNative&&) = delete;
 
   NetDesc get_net_data() override;
   std::vector<data_t> launch_forward(

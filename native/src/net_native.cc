@@ -106,6 +106,26 @@ NetNative::NetNative(NetDesc desc, bool random_init, unsigned seed,
   worker_ = std::thread([this] { worker_loop(); });
 }
 
+NetNative::NetNative(const NetNative& other)
+    : NetNative([&other] {
+        // snapshot the current weights under the other's lock via export
+        return const_cast<NetNative&>(other).get_net_data();
+      }(),
+                false, 0, other.ring_depth_, other.filter_) {}
+
+NetNative& NetNative::operator=(const NetNative& other) {
+  if (this == &other) return *this;
+  NetDesc snap = const_cast<NetNative&>(other).get_net_data();
+  {
+    std::lock_guard<std::mutex> lk(mu_);
+    desc_ = std::move(snap);
+    sets_.reset();
+    forward_us_ = 0;
+    gradient_us_ = 0;
+  }
+  return *this;
+}
+
 NetNative::~NetNative() {
   {
     std::lock_guard<std::mutex> lk(mu_);

@@ -165,6 +165,25 @@ static void test_options_parser() {
   std::puts("options_parser OK");
 }
 
+
+static void test_copy_semantics() {
+  NetDesc d;
+  d.n_ins = 4;
+  d.n_p_l = {8, 2};
+  d.activations = {1, 0};
+  NetNative a(d, true, 11);
+  NetNative b(a);  // copy ctor
+  std::vector<float> x(4, 0.5f);
+  auto ya = a.launch_forward(x);
+  auto yb = b.launch_forward(x);
+  for (std::size_t i = 0; i < ya.size(); ++i) assert(ya[i] == yb[i]);
+  NetNative c(d, true, 99);
+  c = a;  // copy assign (same shape must still copy, unlike the reference)
+  auto yc = c.launch_forward(x);
+  for (std::size_t i = 0; i < ya.size(); ++i) assert(ya[i] == yc[i]);
+  std::puts("copy_semantics OK");
+}
+
 int main() {
   test_forward_hand_computed();
   test_training_converges();
@@ -173,6 +192,7 @@ int main() {
   test_filter_matches_reference_semantics();
   test_c_api_roundtrip();
   test_options_parser();
+  test_copy_semantics();
   std::puts("ALL NATIVE TESTS PASSED");
   return 0;
 }
