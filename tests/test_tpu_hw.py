@@ -1,0 +1,113 @@
+"""Hardware parity tests — run with VIT_TESTS_ON_TPU=1 on a real chip.
+
+These compile the production (non-interpret) Pallas kernels and check
+them against the XLA/oracle references on device.  Skipped on the CPU
+test platform (interpret-mode parity is covered elsewhere).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("VIT_TESTS_ON_TPU")
+    or jax.default_backend() != "tpu",
+    reason="needs real TPU (set VIT_TESTS_ON_TPU=1)")
+
+
+def test_image_filter_bit_exact_on_hw():
+    import jax.numpy as jnp
+    from vit_fpga_tpu.ops.image_filter import (filter_image_numpy,
+                                               filter_image_pallas)
+    img = np.random.default_rng(0).integers(0, 256, (1080, 1920),
+                                            np.uint8)
+    out = np.asarray(filter_image_pallas(jnp.asarray(img), "sharpen"))
+    ref = filter_image_numpy(img, "sharpen")
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_fused_attention_parity_on_hw():
+    import jax.numpy as jnp
+    from vit_fpga_tpu.ops.attention import mha_qkv_pallas, mha_qkv_xla
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.normal(size=(4, 197, 3 * 768)), jnp.float32)
+    ref = np.asarray(mha_qkv_xla(qkv, 12))
+    out = np.asarray(mha_qkv_pallas(qkv, 12))
+    np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_attn_block_parity_on_hw():
+    import jax.numpy as jnp
+    from vit_fpga_tpu.ops.attn_block import (attn_block_pallas,
+                                             attn_block_xla)
+    rng = np.random.default_rng(2)
+    d, nh = 768, 12
+    x = jnp.asarray(rng.normal(size=(2, 197, d)), jnp.float32)
+    args = (jnp.asarray(rng.normal(size=(d,)) * 0.1 + 1, jnp.float32),
+            jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32),
+            jnp.asarray(rng.normal(size=(d, 3 * d)) * 0.02, jnp.float32),
+            jnp.asarray(rng.normal(size=(3 * d,)) * 0.02, jnp.float32),
+            jnp.asarray(rng.normal(size=(d, d)) * 0.02, jnp.float32),
+            jnp.asarray(rng.normal(size=(d,)) * 0.02, jnp.float32))
+    ref = np.asarray(attn_block_xla(x, *args, num_heads=nh))
+    out = np.asarray(attn_block_pallas(x, *args, nh))
+    np.testing.assert_allclose(out, ref, rtol=3e-3, atol=3e-3)
+
+
+def test_fused_mlp_parity_on_hw():
+    import jax.numpy as jnp
+    from vit_fpga_tpu.ops.fused_mlp import fused_mlp_pallas, fused_mlp_xla
+    rng = np.random.default_rng(3)
+    t, d, m = 512, 768, 3072
+    x = jnp.asarray(rng.normal(size=(t, d)), jnp.bfloat16)
+    s = jnp.ones((d,), jnp.float32)
+    b = jnp.zeros((d,), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, m)) * 0.02, jnp.bfloat16)
+    b1 = jnp.zeros((m,), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(m, d)) * 0.02, jnp.bfloat16)
+    b2 = jnp.zeros((d,), jnp.float32)
+    ref = np.asarray(fused_mlp_xla(x, s, b, w1, b1, w2, b2,
+                                   act="gelu_tanh")).astype(np.float32)
+    out = np.asarray(fused_mlp_pallas(x, s, b, w1, b1, w2, b2,
+                                      act="gelu_tanh")).astype(np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 0.02
+
+
+def test_int8_gemm_exact_on_hw():
+    import jax.numpy as jnp
+    from vit_fpga_tpu.ops.quant import int8_gemm_pallas
+    rng = np.random.default_rng(4)
+    xq = rng.integers(-127, 128, (512, 768), np.int8)
+    wq = rng.integers(-127, 128, (768, 512), np.int8)
+    ref = xq.astype(np.int32) @ wq.astype(np.int32)
+    out = np.asarray(int8_gemm_pallas(jnp.asarray(xq), jnp.asarray(wq)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_streamed_gemm_on_hw():
+    import jax.numpy as jnp
+    from vit_fpga_tpu.ops.streamed_gemm import streamed_gemm
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(256, 1024)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(1024, 512)), jnp.float32)
+    # in-kernel dots run at the MXU's default f32 precision, like jnp.dot
+    ref = np.asarray(jnp.dot(x, w))
+    out = np.asarray(streamed_gemm(x, w, bk=256))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_flash_attention_on_hw():
+    import jax.numpy as jnp
+    from vit_fpga_tpu.ops.attention import mha_xla
+    from vit_fpga_tpu.ops.flash_attention import flash_attention
+    rng = np.random.default_rng(6)
+    q, k, v = (jnp.asarray(rng.normal(size=(1, 4, 2048, 64)),
+                           jnp.bfloat16) for _ in range(3))
+    ref = np.asarray(mha_xla(q, k, v)).astype(np.float32)
+    out = np.asarray(flash_attention(q, k, v)).astype(np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 0.03
