@@ -141,6 +141,7 @@ def _mha_qkv_kernel(qkv_ref, o_ref, scores_ref, *, scale: float,
             preferred_element_type=jnp.float32) * scale
 
     def softmax_pv(h, scores):
+        scores = scores.astype(jnp.float32)
         if n_valid < n_pad:
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             scores = jnp.where(col < n_valid, scores, _NEG_INF)
@@ -152,8 +153,10 @@ def _mha_qkv_kernel(qkv_ref, o_ref, scores_ref, *, scale: float,
             p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
     if scores_ref is not None:
+        # phase split; the scratch may be bf16 when VMEM is tight (the
+        # masked values stay representable: -1e30 -> bf16 keeps order)
         for h in range(n_heads):
-            scores_ref[h] = qk(h)
+            scores_ref[h] = qk(h).astype(scores_ref.dtype)
         for h in range(n_heads):
             softmax_pv(h, scores_ref[h])
     else:
@@ -179,6 +182,10 @@ def mha_qkv_pallas(qkv, num_heads: int, n_valid: int | None = None,
     if n_pad != n:
         qkv = jnp.pad(qkv, [(0, 0), (0, n_pad - n), (0, 0)])
 
+    # phase-split needs the full f32 scores scratch beside qkv/out blocks;
+    # bigger geometries stream per head (a bf16-scratch tier was measured
+    # to still blow the scoped-VMEM limit at exactly the shapes it would
+    # serve, so it does not exist).
     phase_split = (num_heads * n_pad * n_pad * 4 <= _SCORES_SCRATCH_BYTES)
     scratch = ([pltpu.VMEM((num_heads, n_pad, n_pad), jnp.float32)]
                if phase_split else [])
