@@ -36,3 +36,23 @@ def test_rejects_unknown_dtype():
     data = random_net(4, [2], seed=0)
     with pytest.raises(ValueError):
         NetTPU(data, compute_dtype="fp8")
+
+
+def test_int8_mode_requantizes_after_training():
+    data = random_net(8, [16, 2], seed=4,
+                      activations=[ACT_RELU2, ACT_IDENTITY])
+    net = NetTPU(data, compute_dtype="int8")
+    x = np.ones((4, 8), np.float32)
+    before = net.forward_batch(x)
+    from vit_fpga_tpu.defines import NetSets
+    rng = np.random.default_rng(5)
+    net.init_gradient(NetSets(rng.normal(size=(32, 8)).astype(np.float32),
+                              rng.normal(size=(32, 2)).astype(np.float32)))
+    net.launch_gradient(10, 1e-9, 0.05)
+    after = net.forward_batch(x)
+    assert not np.allclose(before, after), \
+        "int8 forward must reflect trained weights"
+    # and it must still match a fresh quantization of the trained net
+    qp = quantized.quantize_mlp(net.get_net_data())
+    ref = quantized.mlp_forward_int8_numpy(qp, x)
+    np.testing.assert_array_equal(after, ref)

@@ -213,9 +213,11 @@ class NetTPU(NetAbstract):
                 multiplier=jnp.float32(multiplier))
             errs = np.asarray(errs, dtype=DATA_TYPE)
         self.gradient_performance = t.us
-        # Device copy becomes the master; host copy refreshed lazily.
+        # Device copy becomes the master; host copy refreshed lazily; any
+        # quantized snapshot is stale now (re-quantized on next int8 use).
         self._device_params = params
         self._version += 1
+        self._qparams_dev = None
         self._engine.params.evict(self._key)
         return errs
 
