@@ -111,6 +111,8 @@ def mha_pallas(q, k, v, n_valid: int | None = None,
             bytes_accessed=4 * b * h * n_pad * dh * q.dtype.itemsize,
             transcendentals=b * h * n_pad * n_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(q, k, v)
     return out[:, :, :n, :]
@@ -211,6 +213,8 @@ def mha_qkv_pallas(qkv, num_heads: int, n_valid: int | None = None,
             bytes_accessed=4 * b * n_pad * d * qkv.dtype.itemsize,
             transcendentals=b * num_heads * n_pad * n_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(qkv)
     return out[:, :n, :]

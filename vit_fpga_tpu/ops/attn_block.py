@@ -120,6 +120,8 @@ def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
             bytes_accessed=2 * b * n_pad * d * x.dtype.itemsize
             + (4 * d * d + 3 * d * d) * 2,
             transcendentals=b * num_heads * n_pad * n_pad),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(x, ln_scale.reshape(1, -1).astype(jnp.float32),
       ln_bias.reshape(1, -1).astype(jnp.float32),

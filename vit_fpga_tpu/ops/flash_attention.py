@@ -105,6 +105,8 @@ def flash_attention(q, k, v, n_valid: int | None = None, bq: int = 512,
             flops=4 * bh * n_pad * n_pad * dh,
             bytes_accessed=4 * bh * n_pad * dh * q.dtype.itemsize,
             transcendentals=bh * n_pad * n_pad),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(q, k, v)
     return out.reshape(b, h, n_pad, dh)[:, :, :n, :]

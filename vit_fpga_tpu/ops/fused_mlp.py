@@ -95,6 +95,8 @@ def fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
             flops=4 * tp * d * m,
             bytes_accessed=(2 * tp * d + 2 * d * m) * x.dtype.itemsize,
             transcendentals=tp * m),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(x, ln_scale.reshape(1, -1).astype(jnp.float32),
       ln_bias.reshape(1, -1).astype(jnp.float32),

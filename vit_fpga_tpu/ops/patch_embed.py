@@ -113,6 +113,8 @@ def patch_embed_pallas(images_u8: jax.Array, kernel_f: jax.Array,
             flops=2 * b * gh * gw * patch * patch * 3 * d_model,
             bytes_accessed=b * h * w * 3 + 4 * k3.size,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(images_u8, k3, bias_f.reshape(1, -1))
     return out

@@ -157,6 +157,8 @@ def int8_gemm_pallas(xq: jax.Array, wq: jax.Array, bm: int = 256,
             flops=2 * mp * np_ * kp,
             bytes_accessed=mp * kp + kp * np_ + 4 * mp * np_,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(xq, wq)
     return out[:m, :n]

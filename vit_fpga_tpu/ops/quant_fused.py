@@ -115,6 +115,8 @@ def int8_linear_fused(x, wq, ws, bias, act: str = "none",
             flops=2 * tp * k * n,
             bytes_accessed=tp * k * 2 + k * n + tp * n * 2,
             transcendentals=tp * n if act != "none" else 0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(x, ln_scale.reshape(1, -1).astype(jnp.float32),
       ln_bias.reshape(1, -1).astype(jnp.float32),
