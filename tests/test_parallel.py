@@ -105,3 +105,32 @@ def test_mlp_tp_sharded_forward_parity():
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sequence_parallel_train_step_matches():
+    """SP activation resharding must not change the math."""
+    import optax
+    from vit_fpga_tpu.parallel.sharding import set_activation_sharding
+    from vit_fpga_tpu.train.trainer import (init_train_state,
+                                            make_vit_train_step)
+    cfg = _tiny_cfg()
+    mesh = make_mesh(dp=4, tp=2)
+    opt = optax.adamw(1e-3)
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 10, 8), jnp.int32)
+
+    losses = {}
+    for sp in (False, True):
+        set_activation_sharding(None)
+        params, opt_state = init_train_state(jax.random.key(0), cfg, opt,
+                                             mesh)
+        step = make_vit_train_step(cfg, opt, mesh, donate=False,
+                                   sequence_parallel=sp)
+        _, _, metrics = step(params, opt_state,
+                             jax.device_put(imgs, batch_sharding(mesh, 4)),
+                             jax.device_put(labels,
+                                            batch_sharding(mesh, 1)))
+        losses[sp] = float(metrics["loss"])
+    set_activation_sharding(None)
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)

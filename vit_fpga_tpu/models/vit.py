@@ -313,8 +313,16 @@ def _forward_features(params: Params, images: jax.Array,
     if cfg.remat:
         block_fn = jax.checkpoint(block_fn)
 
+    # optional sequence-parallel resharding between blocks (Megatron-SP;
+    # set via parallel.sharding.set_activation_sharding before tracing)
+    from ..parallel.sharding import activation_sharding
+    ns = activation_sharding()
+
     def step(carry, blk):
-        return block_fn(carry, blk), None
+        out = block_fn(carry, blk)
+        if ns is not None:
+            out = jax.lax.with_sharding_constraint(out, ns)
+        return out, None
 
     x, _ = jax.lax.scan(step, x, params["blocks"])
     return _layernorm(x, params["ln_f_scale"], params["ln_f_bias"],

@@ -64,6 +64,33 @@ def shard_params(params: Any, shardings: Any) -> Any:
     return jax.device_put(params, shardings)
 
 
+# ---------------------------------------------------------------------------
+# Sequence-parallel activation sharding (Megatron-SP style): between
+# transformer blocks the (B, N, D) activations are sharded along the token
+# axis over 'tp' in addition to batch over 'dp', so LayerNorms/residuals
+# compute on 1/tp of the tokens per device; XLA inserts the all-gather /
+# reduce-scatter pairs around the tp-sharded matmuls.  Process-level state
+# consulted by the model at trace time (set it before jit tracing).
+# ---------------------------------------------------------------------------
+
+_ACTIVATION_SHARDING: Any = None
+
+
+def set_activation_sharding(ns) -> None:
+    """Set (or clear with None) the between-blocks activation sharding."""
+    global _ACTIVATION_SHARDING
+    _ACTIVATION_SHARDING = ns
+
+
+def activation_sharding():
+    return _ACTIVATION_SHARDING
+
+
+def sequence_parallel_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, N, D) activations: batch over dp, tokens over tp."""
+    return NamedSharding(mesh, P("dp", "tp", None))
+
+
 def mlp_param_specs() -> Dict[str, Any]:
     """Dense-net family: alternate column/row parallel layers so large
     reference-style nets also scale over tp."""

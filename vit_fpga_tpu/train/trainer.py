@@ -46,7 +46,8 @@ def vit_loss(params: Params, images: jax.Array, labels: jax.Array,
 
 def make_vit_train_step(cfg: vit.ViTConfig, optimizer: optax.GradientTransformation,
                         mesh: Optional[Mesh] = None,
-                        donate: bool = True) -> Callable:
+                        donate: bool = True,
+                        sequence_parallel: bool = False) -> Callable:
     """Build ``step(params, opt_state, images, labels) ->
     (params, opt_state, metrics)``, jitted (and mesh-sharded if given).
 
@@ -54,6 +55,11 @@ def make_vit_train_step(cfg: vit.ViTConfig, optimizer: optax.GradientTransformat
     XLA-recompute backward), so training uses whatever implementations
     the config selects — fused forwards on TPU, XLA everywhere else.
     """
+
+    if sequence_parallel and mesh is not None:
+        from ..parallel.sharding import (sequence_parallel_sharding,
+                                         set_activation_sharding)
+        set_activation_sharding(sequence_parallel_sharding(mesh))
 
     def step(params, opt_state, images, labels):
         (loss, acc), grads = jax.value_and_grad(
