@@ -135,7 +135,12 @@ NetNative::~NetNative() {
   if (worker_.joinable()) worker_.join();
 }
 
-NetDesc NetNative::get_net_data() { return desc_; }
+NetDesc NetNative::get_net_data() {
+  // Snapshot under mu_: launch_gradient mutates params_flat in place, so an
+  // unlocked read from another thread could see a torn weight set.
+  std::lock_guard<std::mutex> lk(mu_);
+  return desc_;
+}
 
 // ---------------------------------------------------------------------------
 // Forward
@@ -176,6 +181,7 @@ std::vector<data_t> NetNative::launch_forward(
   VFT_CHECK(inputs.size() == desc_.n_ins,
             "input size " << inputs.size() << " != n_ins " << desc_.n_ins);
   utils::ScopedTimerUs timer(&forward_us_);
+  std::lock_guard<std::mutex> lk(mu_);   // consistent weights vs training
   return forward_batch(inputs.data(), 1);
 }
 
@@ -188,6 +194,7 @@ void NetNative::init_gradient(const TrainSet& sets) {
   VFT_CHECK(sets.ins.size() == sets.n_sets * sets.n_ins &&
                 sets.outs.size() == sets.n_sets * sets.n_out,
             "train set sizes inconsistent");
+  std::lock_guard<std::mutex> lk(mu_);
   sets_ = sets;
 }
 
@@ -273,6 +280,7 @@ std::vector<data_t> NetNative::launch_gradient(std::size_t iterations,
                                                data_t multiplier) {
   VFT_CHECK(sets_.has_value(), "init_gradient must be called first");
   utils::ScopedTimerUs timer(&gradient_us_);
+  std::lock_guard<std::mutex> lk(mu_);   // in-place weight updates
   std::vector<data_t> errs(iterations, 0.0f);
   for (std::size_t it = 0; it < iterations; ++it) {
     data_t loss = 0.0f;
@@ -284,6 +292,7 @@ std::vector<data_t> NetNative::launch_gradient(std::size_t iterations,
 }
 
 void NetNative::print_inner_vals() {
+  std::lock_guard<std::mutex> lk(mu_);
   std::size_t p_off = 0, b_off = 0, fan_in = desc_.n_ins;
   for (std::size_t l = 0; l < desc_.n_layers(); ++l) {
     const std::size_t width = static_cast<std::size_t>(desc_.n_p_l[l]);

@@ -108,9 +108,9 @@ def test_graft_entry_dryrun():
 
 
 def test_sequence_parallel_train_step_matches():
-    """SP activation resharding must not change the math."""
+    """SP activation resharding must not change the math.  The sharding is
+    carried in the config (no process-global to reset between traces)."""
     import optax
-    from vit_fpga_tpu.parallel.sharding import set_activation_sharding
     from vit_fpga_tpu.train.trainer import (init_train_state,
                                             make_vit_train_step)
     cfg = _tiny_cfg()
@@ -122,7 +122,6 @@ def test_sequence_parallel_train_step_matches():
 
     losses = {}
     for sp in (False, True):
-        set_activation_sharding(None)
         params, opt_state = init_train_state(jax.random.key(0), cfg, opt,
                                              mesh)
         step = make_vit_train_step(cfg, opt, mesh, donate=False,
@@ -132,5 +131,4 @@ def test_sequence_parallel_train_step_matches():
                              jax.device_put(labels,
                                             batch_sharding(mesh, 1)))
         losses[sp] = float(metrics["loss"])
-    set_activation_sharding(None)
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)

@@ -165,6 +165,8 @@ def vit_forward_int8(qparams: Params, images: jax.Array,
     x = vit_mod._layernorm(x, qparams["ln_f_scale"], qparams["ln_f_bias"],
                            cfg.ln_eps)
     pooled = x[:, 0]
+    if "head" not in qparams:   # headless import (HF ViTModel): features out
+        return pooled
     return _qlin(pooled, qparams["head"], impl)
 
 
@@ -256,6 +258,8 @@ def vit_forward_int8_fast(qparams: Params, images: jax.Array,
     x, _ = jax.lax.scan(step, x, qparams["blocks"])
     x = vit_mod._layernorm(x, qparams["ln_f_scale"], qparams["ln_f_bias"],
                            cfg.ln_eps)
+    if "head" not in qparams:   # headless import (HF ViTModel): features out
+        return x[:, 0].astype(jnp.float32)
     hd = qparams["head"]
     return _fused_lin(x[:, :1], hd["wq"], hd["ws"], hd["b"])[:, 0].astype(
         jnp.float32)

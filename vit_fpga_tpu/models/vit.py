@@ -57,6 +57,12 @@ class ViTConfig:
     remat: bool = False              # jax.checkpoint each block (training)
     mean: Tuple[float, ...] = IMAGENET_MEAN
     std: Tuple[float, ...] = IMAGENET_STD
+    # Optional NamedSharding applied to the (B, N, D) activations between
+    # transformer blocks (Megatron-SP; see parallel.sharding).  Carried in
+    # the config — NOT process state — so independently-traced models can't
+    # inherit it by accident.  NamedSharding is hashable, so the frozen
+    # dataclass stays usable as a static jit argument.
+    activation_sharding: Any = None
 
     @property
     def n_patches(self) -> int:
@@ -202,14 +208,16 @@ def preprocess(images_u8: jax.Array, cfg: ViTConfig) -> jax.Array:
 
 
 def _attn_block_fits(cfg: ViTConfig) -> bool:
-    """VMEM budget check for the fused attention-half mega-kernel."""
-    d = cfg.hidden_dim
-    n_pad = ((cfg.seq_len + 127) // 128) * 128
+    """VMEM budget check for the fused attention-half mega-kernel (delegates
+    to the kernel's own head-group slot calculation)."""
+    from ..ops.attn_block import score_slots
+    from ..ops.common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
     itemsize = 2 if cfg.dtype == "bfloat16" else 4
-    weights = (3 * d * d + d * d) * itemsize
-    scores = cfg.num_heads * n_pad * n_pad * 4
-    acts = n_pad * (3 * d + 3 * d) * itemsize
-    return weights + scores + acts <= 12 * 1024 * 1024
+    sub = SUBLANE_BF16 if itemsize == 2 else SUBLANE_F32
+    n_pad = round_up(cfg.seq_len, sub)
+    kv_pad = round_up(cfg.seq_len, LANE)
+    return score_slots(cfg.num_heads, cfg.hidden_dim, n_pad, kv_pad,
+                       itemsize) >= 1
 
 
 def _block(x, blk, cfg: ViTConfig):
@@ -242,8 +250,11 @@ def _block(x, blk, cfg: ViTConfig):
 
     mlp_impl = cfg.mlp_impl
     if mlp_impl == "auto":
-        # fused kernel needs both weight mats VMEM-resident (~<12MB)
-        fits = (cfg.hidden_dim * cfg.mlp_dim * 2 * 2) < 12 * 1024 * 1024
+        # fused kernel needs both weight mats VMEM-resident (~<12MB);
+        # weights are cast to the compute dtype, so budget by its itemsize
+        itemsize = 2 if cfg.dtype == "bfloat16" else 4
+        fits = (cfg.hidden_dim * cfg.mlp_dim * 2 * itemsize
+                ) < 12 * 1024 * 1024
         mlp_impl = ("pallas" if jax.default_backend() == "tpu" and fits
                     else "xla")
     act_name = cfg.hidden_act
@@ -314,9 +325,8 @@ def _forward_features(params: Params, images: jax.Array,
         block_fn = jax.checkpoint(block_fn)
 
     # optional sequence-parallel resharding between blocks (Megatron-SP;
-    # set via parallel.sharding.set_activation_sharding before tracing)
-    from ..parallel.sharding import activation_sharding
-    ns = activation_sharding()
+    # set cfg.activation_sharding, e.g. to sequence_parallel_sharding(mesh))
+    ns = cfg.activation_sharding
 
     def step(carry, blk):
         out = block_fn(carry, blk)

@@ -69,33 +69,14 @@ def shard_params(params: Any, shardings: Any) -> Any:
 # transformer blocks the (B, N, D) activations are sharded along the token
 # axis over 'tp' in addition to batch over 'dp', so LayerNorms/residuals
 # compute on 1/tp of the tokens per device; XLA inserts the all-gather /
-# reduce-scatter pairs around the tp-sharded matmuls.  Process-level state
-# consulted by the model at trace time (set it before jit tracing).
+# reduce-scatter pairs around the tp-sharded matmuls.  Carried in
+# ``ViTConfig.activation_sharding`` (no process-global trace-time state).
 # ---------------------------------------------------------------------------
-
-_ACTIVATION_SHARDING: Any = None
-
-
-def set_activation_sharding(ns) -> None:
-    """Set (or clear with None) the between-blocks activation sharding."""
-    global _ACTIVATION_SHARDING
-    _ACTIVATION_SHARDING = ns
-
-
-def activation_sharding():
-    return _ACTIVATION_SHARDING
 
 
 def sequence_parallel_sharding(mesh: Mesh) -> NamedSharding:
     """(B, N, D) activations: batch over dp, tokens over tp."""
     return NamedSharding(mesh, P("dp", "tp", None))
-
-
-def mlp_param_specs() -> Dict[str, Any]:
-    """Dense-net family: alternate column/row parallel layers so large
-    reference-style nets also scale over tp."""
-    # Depth is dynamic; handled per-layer in mlp_param_sharding.
-    raise NotImplementedError("use mlp_param_sharding(mesh, params)")
 
 
 def mlp_param_sharding(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:

@@ -23,10 +23,15 @@ from __future__ import annotations
 import io
 import queue
 import threading
+import time
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Callable, Optional
 
 import numpy as np
+
+
+class ServerClosed(RuntimeError):
+    """Raised for requests submitted to (or stranded in) a closed server."""
 
 
 def decode_jpeg(data: bytes, image_size: int) -> np.ndarray:
@@ -59,6 +64,7 @@ class ImageServer:
         self._pending: "queue.Queue" = queue.Queue(maxsize=4 * batch_size)
         self._dispatched: "queue.Queue" = queue.Queue(maxsize=max_inflight)
         self._stop = threading.Event()
+        self._closed = threading.Event()   # rejects new submits during drain
         self.served = 0
         self.batches = 0
         self._batcher = threading.Thread(target=self._batch_loop,
@@ -72,21 +78,43 @@ class ImageServer:
 
     def submit(self, jpeg_bytes: bytes) -> Future:
         """Enqueue one encoded image; resolves to its embedding/logits row."""
+        if self._closed.is_set():
+            raise ServerClosed("submit() on closed ImageServer")
         fut: Future = Future()
         self._decode_pool.submit(self._decode_one, jpeg_bytes, fut)
         return fut
 
     def submit_raw(self, image_u8: np.ndarray) -> Future:
         """Enqueue an already-decoded (S, S, 3) uint8 image."""
+        if self._closed.is_set():
+            raise ServerClosed("submit_raw() on closed ImageServer")
         fut: Future = Future()
-        self._pending.put((image_u8, fut))
+        self._pending.put((image_u8, fut, time.monotonic()))
         return fut
 
-    def close(self) -> None:
+    def close(self, drain: bool = True, timeout: float = 30.0) -> None:
+        """Stop accepting work; by default drain in-flight requests so no
+        future is ever stranded.  Anything still unprocessed at timeout (or
+        with ``drain=False``) fails fast with :class:`ServerClosed`."""
+        self._closed.set()
+        self._decode_pool.shutdown(wait=drain)
+        if drain:
+            deadline = time.monotonic() + timeout
+            while (not self._pending.empty()
+                   and time.monotonic() < deadline):
+                time.sleep(0.005)
         self._stop.set()
         self._batcher.join(timeout=10)
         self._completer.join(timeout=10)
-        self._decode_pool.shutdown(wait=False)
+        # fail anything the batcher never picked up
+        while True:
+            try:
+                _, fut, _ = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done() and not fut.cancelled():
+                fut.set_exception(ServerClosed("server closed with request "
+                                               "pending"))
 
     def __enter__(self):
         return self
@@ -103,7 +131,7 @@ class ImageServer:
         except Exception as e:  # decode failure -> per-request error
             fut.set_exception(e)
             return
-        self._pending.put((img, fut))
+        self._pending.put((img, fut, time.monotonic()))
 
     def _batch_loop(self) -> None:
         import jax.numpy as jnp
@@ -113,28 +141,34 @@ class ImageServer:
                 items.append(self._pending.get(timeout=0.05))
             except queue.Empty:
                 continue
-            deadline = self._flush_s
+            # ONE absolute deadline per batch: a steady trickle cannot hold
+            # a partial batch open past flush_ms total.
+            deadline = time.monotonic() + self._flush_s
             while len(items) < self._batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    items.append(self._pending.get(timeout=deadline))
+                    items.append(self._pending.get(timeout=remaining))
                 except queue.Empty:
                     break
             n = len(items)
             batch = np.zeros((self._batch, self._size, self._size, 3),
                              np.uint8)
-            for i, (img, _) in enumerate(items):
+            for i, (img, _, _) in enumerate(items):
                 batch[i] = img
             try:
                 out = self._fwd(jnp.asarray(batch))  # async dispatch
             except Exception as e:  # fail the batch, keep serving
-                for _, fut in items:
+                for _, fut, _ in items:
                     if not fut.cancelled():
                         fut.set_exception(e)
                 continue
-            self._dispatched.put((out, [f for _, f in items], n))
+            self._dispatched.put((out, [(f, t0) for _, f, t0 in items], n))
             self.batches += 1
 
     def _complete_loop(self) -> None:
+        from ..utils.log import Metrics
         while not self._stop.is_set() or not self._dispatched.empty():
             try:
                 out, futs, n = self._dispatched.get(timeout=0.05)
@@ -143,14 +177,20 @@ class ImageServer:
             try:
                 rows = np.asarray(out)[:n]  # blocks until device completes
             except Exception as e:  # async device failure surfaces here
-                for fut in futs:
+                for fut, _ in futs:
                     if not fut.cancelled():
                         fut.set_exception(e)
                 continue
-            for i, fut in enumerate(futs):
+            done = time.monotonic()
+            for i, (fut, t0) in enumerate(futs):
                 if not fut.cancelled():
                     fut.set_result(rows[i])
+                Metrics.observe("serving/latency_ms", (done - t0) * 1e3)
             self.served += n
-            from ..utils.log import Metrics
             Metrics.incr("serving/images", n)
             Metrics.incr("serving/batches")
+
+    def latency_percentiles(self, pcts=(50.0, 99.0)) -> dict:
+        """Submit->result latency percentiles (ms) over the recent window."""
+        from ..utils.log import Metrics
+        return Metrics.percentiles("serving/latency_ms", pcts)

@@ -57,9 +57,10 @@ def make_vit_train_step(cfg: vit.ViTConfig, optimizer: optax.GradientTransformat
     """
 
     if sequence_parallel and mesh is not None:
-        from ..parallel.sharding import (sequence_parallel_sharding,
-                                         set_activation_sharding)
-        set_activation_sharding(sequence_parallel_sharding(mesh))
+        import dataclasses
+        from ..parallel.sharding import sequence_parallel_sharding
+        cfg = dataclasses.replace(
+            cfg, activation_sharding=sequence_parallel_sharding(mesh))
 
     def step(params, opt_state, images, labels):
         (loss, acc), grads = jax.value_and_grad(

@@ -14,7 +14,8 @@ from __future__ import annotations
 import logging
 import threading
 import time
-from typing import Dict
+from collections import deque
+from typing import Dict, Sequence
 
 _FMT = "%(asctime)s %(levelname)s %(name)s: %(message)s"
 _configured = False
@@ -39,6 +40,8 @@ class Metrics:
     _lock = threading.Lock()
     _counters: Dict[str, float] = {}
     _gauges: Dict[str, float] = {}
+    _samples: Dict[str, deque] = {}
+    _max_samples = 4096   # bounded reservoir per series (recent window)
 
     @classmethod
     def incr(cls, name: str, value: float = 1.0) -> None:
@@ -51,15 +54,43 @@ class Metrics:
             cls._gauges[name] = value
 
     @classmethod
+    def observe(cls, name: str, value: float) -> None:
+        """Record one sample into a bounded sliding window (for latency
+        distributions — the µs-counter story the reference never had)."""
+        with cls._lock:
+            if name not in cls._samples:
+                cls._samples[name] = deque(maxlen=cls._max_samples)
+            cls._samples[name].append(value)
+
+    @classmethod
+    def percentiles(cls, name: str,
+                    pcts: Sequence[float] = (50.0, 99.0)) -> Dict[str, float]:
+        """Percentiles over the recent sample window (empty dict if none)."""
+        with cls._lock:
+            xs = sorted(cls._samples.get(name, ()))
+        if not xs:
+            return {}
+        out = {}
+        for p in pcts:
+            idx = min(len(xs) - 1, max(0, round(p / 100.0 * (len(xs) - 1))))
+            out[f"p{p:g}"] = xs[idx]
+        return out
+
+    @classmethod
     def snapshot(cls) -> Dict[str, float]:
         with cls._lock:
             out = dict(cls._counters)
             out.update({f"gauge/{k}": v for k, v in cls._gauges.items()})
-            out["ts"] = time.time()
-            return out
+            sample_names = list(cls._samples)
+        for name in sample_names:
+            for k, v in cls.percentiles(name).items():
+                out[f"{name}/{k}"] = v
+        out["ts"] = time.time()
+        return out
 
     @classmethod
     def reset(cls) -> None:
         with cls._lock:
             cls._counters.clear()
             cls._gauges.clear()
+            cls._samples.clear()
