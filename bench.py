@@ -10,7 +10,15 @@ BASELINE.json: > 0.90.
 
 Usage: python bench.py [model=vit_b16] [batch=64] [image=224]
                        [dtype=bfloat16] [iters=10] [inner=8] [attn=auto]
-                       [raw=false] [json_only=true]
+                       [raw=false] [json_only=true] [mode=throughput]
+
+Modes:
+  throughput — images/sec at the given batch (default; the headline)
+  latency    — batch-1 single-image p50/p99 latency in µs (the second half
+               of BASELINE.json's metric; the reference's µs counter at
+               /root/reference/src/netFPGA.cpp:262-284 was latency-only)
+  train      — ms per optimizer step (ViT classification, optax sgd),
+               net-new capability: the reference stubs training entirely
 """
 
 from __future__ import annotations
@@ -36,7 +44,8 @@ def main(argv):
     from vit_fpga_tpu.utils.options import Options
     opts = Options(argv)
     model = opts.get("model", str, "vit_b16")
-    batch = opts.get("batch", int, 64)
+    mode = opts.get("mode", str, "throughput")
+    batch = opts.get("batch", int, 1 if mode == "latency" else 64)
     image = opts.get("image", int, 224)
     dtype = opts.get("dtype", str, "bfloat16")
     iters = opts.get("iters", int, 10)
@@ -92,10 +101,68 @@ def main(argv):
 
         run_params = params
 
+    if mode == "train":
+        # ms per optimizer step — net-new capability: the reference stubs
+        # training entirely (/root/reference/src/netFPGA.cpp:518-580).
+        import optax
+        from vit_fpga_tpu.train.trainer import make_vit_train_step
+        opt = optax.sgd(1e-4)
+        opt_state = jax.device_put(opt.init(params))
+        labels = jax.device_put(jnp.zeros((batch,), jnp.int32))
+        step = make_vit_train_step(cfg, opt, donate=False)
+
+        # images LAST: the device-loop timer threads its serial-dependency
+        # perturbation through the final argument, which must be float.
+        def train_once(p, s, y, x):
+            _, _, m = step(p, s, x, y)
+            return m["loss"]
+
+        sec = time_device_loop(train_once,
+                               (params, opt_state, labels, images),
+                               n_lo=2, n_hi=2 + max(4, iters // 2), reps=3)
+        fwd_flops = vit_flops_per_image(cfg) * batch
+        train_flops = 3 * fwd_flops   # fwd + 2x bwd (standard estimate)
+        peak = V5E_BF16_FLOPS if dtype == "bfloat16" else V5E_BF16_FLOPS / 2
+        print(json.dumps({
+            "metric": f"{model}@{image}px {dtype} batch-{batch} "
+                      "train step time",
+            "value": round(sec * 1e3, 3),
+            "unit": "ms/step",
+            "vs_baseline": round(train_flops / sec / peak, 4),
+        }))
+        return
+
     sec_per_call = time_device_loop(fwd, (run_params, images),
                                     n_lo=inner, n_hi=inner + iters,
                                     reps=3)
     imgs_per_s = batch / sec_per_call
+
+    if mode == "latency":
+        # Batch-1 warm-path single-image latency.  The device-loop timer
+        # measures pure device time per call (the tunnel acks dispatch
+        # early, so host-side percentiles are transport noise here); p50
+        # and p99 are taken over per-rep loop estimates.
+        reps = []
+        for _ in range(5):
+            reps.append(time_device_loop(fwd, (run_params, images),
+                                         n_lo=inner, n_hi=inner + iters,
+                                         reps=1))
+        reps.sort()
+        p50 = reps[len(reps) // 2]
+        p99 = reps[-1]
+        peak = (V5E_BF16_FLOPS if dtype == "bfloat16" else
+                2 * V5E_BF16_FLOPS if dtype == "int8" else
+                V5E_BF16_FLOPS / 2)
+        ideal = vit_flops_per_image(cfg) * batch / peak
+        print(json.dumps({
+            "metric": f"{model}@{image}px {dtype} batch-{batch} "
+                      "single-image p50 latency",
+            "value": round(p50 * 1e6, 1),
+            "unit": "us",
+            "p99_us": round(p99 * 1e6, 1),
+            "vs_baseline": round(ideal / p50, 4),
+        }))
+        return
 
     flops = vit_flops_per_image(cfg)
     if dtype == "bfloat16":

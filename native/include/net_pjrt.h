@@ -1,0 +1,103 @@
+// Pure-native TPU client over the PJRT C API — no Python anywhere.
+//
+// The reference ships a static library an application links directly
+// (/root/reference/Makefile:75,94-95); its device programs are precompiled
+// .aocx bitstreams loaded at runtime (src/netFPGA.cpp:388-390).  The
+// TPU-native analogue: the model is AOT-lowered to StableHLO by
+// vit_fpga_tpu/utils/export_pjrt.py (the ".aocx" of this stack), and this
+// client dlopens a PJRT plugin (libtpu.so on a TPU host), compiles the
+// program, stages the weights once (device residency ≙ _load_params,
+// src/netFPGA.cpp:484-515), and runs forward passes with microsecond perf
+// counters (≙ src/netFPGA.cpp:262-284).  `ldd` on the linking binary shows
+// no libpython.
+#ifndef VFT_NET_PJRT_H
+#define VFT_NET_PJRT_H
+
+#include <cstdint>
+#include <memory>
+#include <string>
+#include <vector>
+
+struct PJRT_Api;
+struct PJRT_Client;
+struct PJRT_Device;
+struct PJRT_Buffer;
+struct PJRT_LoadedExecutable;
+
+namespace net {
+namespace pjrt {
+
+// One logical array argument or result.
+struct Spec {
+  std::string dtype;               // f32 | bf16 | u8 | i8 | i32
+  std::vector<std::int64_t> dims;
+  std::size_t offset = 0;          // into weights.bin (weights only)
+  std::size_t nbytes = 0;
+  bool is_input = false;           // per-call data (vs staged weight)
+};
+
+std::size_t dtype_size(const std::string& dtype);
+
+// Plugin create-option (string- or int-valued PJRT_NamedValue).
+struct Option {
+  std::string key;
+  std::string str;      // used when is_int == false
+  std::int64_t i64 = 0;
+  bool is_int = false;
+};
+
+// Thin RAII runtime: plugin + client + one addressable device.
+class Runtime {
+ public:
+  explicit Runtime(const std::string& plugin_path,
+                   const std::vector<Option>& options = {});
+  ~Runtime();
+  Runtime(const Runtime&) = delete;
+  Runtime& operator=(const Runtime&) = delete;
+
+  const PJRT_Api* api() const { return api_; }
+  PJRT_Client* client() const { return client_; }
+  PJRT_Device* device() const { return device_; }
+  std::string platform_name() const { return platform_; }
+
+ private:
+  void* dl_ = nullptr;
+  const PJRT_Api* api_ = nullptr;
+  PJRT_Client* client_ = nullptr;
+  PJRT_Device* device_ = nullptr;
+  std::string platform_;
+};
+
+// A compiled model with staged (device-resident) weights.
+class Model {
+ public:
+  // `dir` holds model.mlir / compile_options.pb / weights.bin /
+  // manifest.txt (see export_pjrt.py).
+  Model(std::shared_ptr<Runtime> rt, const std::string& dir);
+  ~Model();
+  Model(const Model&) = delete;
+  Model& operator=(const Model&) = delete;
+
+  // Runs the program on `input` (raw bytes of the single per-call input
+  // arg; shape/dtype per manifest) and returns the f32 output flattened.
+  std::vector<float> forward(const void* input_data,
+                             std::size_t input_nbytes);
+
+  const Spec& input_spec() const { return specs_[input_idx_]; }
+  const Spec& output_spec() const { return out_spec_; }
+  std::int64_t last_forward_us() const { return forward_us_; }
+
+ private:
+  std::shared_ptr<Runtime> rt_;
+  PJRT_LoadedExecutable* exe_ = nullptr;
+  std::vector<Spec> specs_;
+  std::size_t input_idx_ = 0;
+  Spec out_spec_;
+  std::vector<PJRT_Buffer*> weight_bufs_;   // staged once
+  std::int64_t forward_us_ = 0;
+};
+
+}  // namespace pjrt
+}  // namespace net
+
+#endif  // VFT_NET_PJRT_H

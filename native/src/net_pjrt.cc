@@ -1,0 +1,335 @@
+// PJRT C-API client implementation (see net_pjrt.h for the design notes).
+//
+// Error handling mirrors the reference's fail-fast checkError discipline
+// (src/netFPGA.cpp passim): every PJRT call goes through CHECK_PJRT which
+// converts a PJRT_Error into net::utils::Error with the plugin's message.
+
+#include "net_pjrt.h"
+
+#include <dlfcn.h>
+
+#include <chrono>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+
+#include "net_utils.h"
+#include "pjrt_c_api.h"
+
+namespace net {
+namespace pjrt {
+
+namespace {
+
+std::string error_message(const PJRT_Api* api, PJRT_Error* err) {
+  PJRT_Error_Message_Args margs;
+  std::memset(&margs, 0, sizeof(margs));
+  margs.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  margs.error = err;
+  api->PJRT_Error_Message(&margs);
+  std::string msg(margs.message, margs.message_size);
+  PJRT_Error_Destroy_Args dargs;
+  std::memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  dargs.error = err;
+  api->PJRT_Error_Destroy(&dargs);
+  return msg;
+}
+
+#define CHECK_PJRT(api, call)                                        \
+  do {                                                               \
+    PJRT_Error* _err = (call);                                       \
+    if (_err != nullptr) {                                           \
+      throw net::utils::Error(std::string(#call) + ": " +            \
+                              error_message((api), _err));           \
+    }                                                                \
+  } while (0)
+
+void await_event(const PJRT_Api* api, PJRT_Event* ev) {
+  if (ev == nullptr) return;
+  PJRT_Event_Await_Args aargs;
+  std::memset(&aargs, 0, sizeof(aargs));
+  aargs.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+  aargs.event = ev;
+  PJRT_Error* err = api->PJRT_Event_Await(&aargs);
+  PJRT_Event_Destroy_Args dargs;
+  std::memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+  dargs.event = ev;
+  api->PJRT_Event_Destroy(&dargs);
+  if (err != nullptr)
+    throw net::utils::Error("PJRT_Event_Await: " +
+                            error_message(api, err));
+}
+
+std::string read_file(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) throw net::utils::Error("cannot open " + path);
+  std::ostringstream ss;
+  ss << f.rdbuf();
+  return ss.str();
+}
+
+PJRT_Buffer_Type buffer_type(const std::string& dtype) {
+  if (dtype == "f32") return PJRT_Buffer_Type_F32;
+  if (dtype == "bf16") return PJRT_Buffer_Type_BF16;
+  if (dtype == "u8") return PJRT_Buffer_Type_U8;
+  if (dtype == "i8") return PJRT_Buffer_Type_S8;
+  if (dtype == "i32") return PJRT_Buffer_Type_S32;
+  throw net::utils::Error("unsupported dtype " + dtype);
+}
+
+PJRT_Buffer* to_device(const PJRT_Api* api, PJRT_Client* client,
+                       PJRT_Device* device, const void* data,
+                       const Spec& spec) {
+  PJRT_Client_BufferFromHostBuffer_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+  args.client = client;
+  args.data = data;
+  args.type = buffer_type(spec.dtype);
+  args.dims = spec.dims.data();
+  args.num_dims = spec.dims.size();
+  args.host_buffer_semantics =
+      PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+  args.device = device;
+  CHECK_PJRT(api, api->PJRT_Client_BufferFromHostBuffer(&args));
+  await_event(api, args.done_with_host_buffer);
+  return args.buffer;
+}
+
+void destroy_buffer(const PJRT_Api* api, PJRT_Buffer* buf) {
+  if (buf == nullptr) return;
+  PJRT_Buffer_Destroy_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+  args.buffer = buf;
+  api->PJRT_Buffer_Destroy(&args);
+}
+
+}  // namespace
+
+std::size_t dtype_size(const std::string& dtype) {
+  if (dtype == "f32" || dtype == "i32") return 4;
+  if (dtype == "bf16") return 2;
+  return 1;
+}
+
+// ---------------------------------------------------------------------------
+// Runtime
+// ---------------------------------------------------------------------------
+
+Runtime::Runtime(const std::string& plugin_path,
+                 const std::vector<Option>& options) {
+  dl_ = dlopen(plugin_path.c_str(), RTLD_NOW | RTLD_LOCAL);
+  if (dl_ == nullptr)
+    throw utils::Error("dlopen(" + plugin_path + "): " + dlerror());
+  using GetApiFn = const PJRT_Api* (*)();
+  auto get_api = reinterpret_cast<GetApiFn>(dlsym(dl_, "GetPjrtApi"));
+  if (get_api == nullptr)
+    throw utils::Error(plugin_path + " has no GetPjrtApi symbol");
+  api_ = get_api();
+  VFT_CHECK(api_ != nullptr, "GetPjrtApi returned null");
+
+  PJRT_Plugin_Initialize_Args init;
+  std::memset(&init, 0, sizeof(init));
+  init.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+  CHECK_PJRT(api_, api_->PJRT_Plugin_Initialize(&init));
+
+  std::vector<PJRT_NamedValue> named(options.size());
+  for (std::size_t i = 0; i < options.size(); ++i) {
+    const Option& o = options[i];
+    std::memset(&named[i], 0, sizeof(PJRT_NamedValue));
+    named[i].struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    named[i].name = o.key.c_str();
+    named[i].name_size = o.key.size();
+    if (o.is_int) {
+      named[i].type = PJRT_NamedValue_kInt64;
+      named[i].int64_value = o.i64;
+      named[i].value_size = 1;
+    } else {
+      named[i].type = PJRT_NamedValue_kString;
+      named[i].string_value = o.str.c_str();
+      named[i].value_size = o.str.size();
+    }
+  }
+
+  PJRT_Client_Create_Args create;
+  std::memset(&create, 0, sizeof(create));
+  create.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  create.create_options = named.empty() ? nullptr : named.data();
+  create.num_options = named.size();
+  CHECK_PJRT(api_, api_->PJRT_Client_Create(&create));
+  client_ = create.client;
+
+  PJRT_Client_AddressableDevices_Args devs;
+  std::memset(&devs, 0, sizeof(devs));
+  devs.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+  devs.client = client_;
+  CHECK_PJRT(api_, api_->PJRT_Client_AddressableDevices(&devs));
+  VFT_CHECK(devs.num_addressable_devices > 0, "no addressable devices");
+  device_ = devs.addressable_devices[0];
+
+  PJRT_Client_PlatformName_Args plat;
+  std::memset(&plat, 0, sizeof(plat));
+  plat.struct_size = PJRT_Client_PlatformName_Args_STRUCT_SIZE;
+  plat.client = client_;
+  CHECK_PJRT(api_, api_->PJRT_Client_PlatformName(&plat));
+  platform_.assign(plat.platform_name, plat.platform_name_size);
+}
+
+Runtime::~Runtime() {
+  if (client_ != nullptr && api_ != nullptr) {
+    PJRT_Client_Destroy_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
+    args.client = client_;
+    api_->PJRT_Client_Destroy(&args);
+  }
+  // The plugin stays loaded for the process lifetime (libtpu does not
+  // support re-dlopen), mirroring the reference's process-wide session.
+}
+
+// ---------------------------------------------------------------------------
+// Model
+// ---------------------------------------------------------------------------
+
+Model::Model(std::shared_ptr<Runtime> rt, const std::string& dir)
+    : rt_(std::move(rt)) {
+  const PJRT_Api* api = rt_->api();
+
+  // manifest
+  std::istringstream mf(read_file(dir + "/manifest.txt"));
+  std::string tok, version;
+  mf >> tok >> version;
+  VFT_CHECK(tok == "vft-pjrt-manifest" && version == "v1",
+            "bad manifest header: " << tok << " " << version);
+  std::size_t nargs = 0;
+  mf >> tok >> nargs;
+  VFT_CHECK(tok == "nargs", "bad manifest nargs line");
+  specs_.resize(nargs);
+  for (std::size_t i = 0; i < nargs; ++i) {
+    std::size_t idx = 0, ndim = 0;
+    std::string kind;
+    Spec s;
+    mf >> tok >> idx >> kind >> s.dtype >> ndim;
+    VFT_CHECK(tok == "arg" && idx < nargs, "bad manifest arg line " << i);
+    s.dims.resize(ndim);
+    for (auto& d : s.dims) mf >> d;
+    mf >> s.offset >> s.nbytes;
+    s.is_input = (kind == "input");
+    if (s.is_input) input_idx_ = idx;
+    specs_[idx] = s;
+  }
+  std::size_t ondim = 0;
+  mf >> tok >> out_spec_.dtype >> ondim;
+  VFT_CHECK(tok == "out", "bad manifest out line");
+  out_spec_.dims.resize(ondim);
+  for (auto& d : out_spec_.dims) mf >> d;
+
+  // compile
+  std::string mlir = read_file(dir + "/model.mlir");
+  std::string copts = read_file(dir + "/compile_options.pb");
+  PJRT_Program prog;
+  std::memset(&prog, 0, sizeof(prog));
+  prog.struct_size = PJRT_Program_STRUCT_SIZE;
+  prog.code = mlir.data();
+  prog.code_size = mlir.size();
+  static const char kFormat[] = "mlir";
+  prog.format = kFormat;
+  prog.format_size = sizeof(kFormat) - 1;
+  PJRT_Client_Compile_Args cargs;
+  std::memset(&cargs, 0, sizeof(cargs));
+  cargs.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+  cargs.client = rt_->client();
+  cargs.program = &prog;
+  cargs.compile_options = copts.data();
+  cargs.compile_options_size = copts.size();
+  CHECK_PJRT(api, api->PJRT_Client_Compile(&cargs));
+  exe_ = cargs.executable;
+
+  // stage weights once (device residency ≙ _load_params caching)
+  std::string weights = read_file(dir + "/weights.bin");
+  weight_bufs_.assign(specs_.size(), nullptr);
+  for (std::size_t i = 0; i < specs_.size(); ++i) {
+    const Spec& s = specs_[i];
+    if (s.is_input) continue;
+    VFT_CHECK(s.offset + s.nbytes <= weights.size(),
+              "weights.bin too small for arg " << i);
+    weight_bufs_[i] = to_device(api, rt_->client(), rt_->device(),
+                                weights.data() + s.offset, s);
+  }
+}
+
+Model::~Model() {
+  const PJRT_Api* api = rt_->api();
+  for (PJRT_Buffer* b : weight_bufs_) destroy_buffer(api, b);
+  if (exe_ != nullptr) {
+    PJRT_LoadedExecutable_Destroy_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE;
+    args.executable = exe_;
+    api->PJRT_LoadedExecutable_Destroy(&args);
+  }
+}
+
+std::vector<float> Model::forward(const void* input_data,
+                                  std::size_t input_nbytes) {
+  const PJRT_Api* api = rt_->api();
+  const Spec& in = specs_[input_idx_];
+  std::size_t expect = dtype_size(in.dtype);
+  for (auto d : in.dims) expect *= static_cast<std::size_t>(d);
+  VFT_CHECK(input_nbytes == expect,
+            "input bytes " << input_nbytes << " != expected " << expect);
+  const auto t0 = std::chrono::high_resolution_clock::now();
+
+  PJRT_Buffer* in_buf = to_device(api, rt_->client(), rt_->device(),
+                                  input_data, in);
+  std::vector<PJRT_Buffer*> argv(specs_.size());
+  for (std::size_t i = 0; i < specs_.size(); ++i)
+    argv[i] = (i == input_idx_) ? in_buf : weight_bufs_[i];
+
+  PJRT_Buffer* const* arg_list = argv.data();
+  PJRT_Buffer* out_buf = nullptr;
+  PJRT_Buffer** out_inner = &out_buf;
+  PJRT_Event* done = nullptr;
+
+  PJRT_ExecuteOptions opts;
+  std::memset(&opts, 0, sizeof(opts));
+  opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+
+  PJRT_LoadedExecutable_Execute_Args eargs;
+  std::memset(&eargs, 0, sizeof(eargs));
+  eargs.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+  eargs.executable = exe_;
+  eargs.options = &opts;
+  eargs.argument_lists = &arg_list;
+  eargs.num_devices = 1;
+  eargs.num_args = argv.size();
+  eargs.output_lists = &out_inner;
+  eargs.device_complete_events = &done;
+  CHECK_PJRT(api, api->PJRT_LoadedExecutable_Execute(&eargs));
+  await_event(api, done);
+
+  std::size_t out_elems = 1;
+  for (auto d : out_spec_.dims) out_elems *= static_cast<std::size_t>(d);
+  std::vector<float> host(out_elems);
+  PJRT_Buffer_ToHostBuffer_Args hargs;
+  std::memset(&hargs, 0, sizeof(hargs));
+  hargs.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+  hargs.src = out_buf;
+  hargs.dst = host.data();
+  hargs.dst_size = host.size() * sizeof(float);
+  CHECK_PJRT(api, api->PJRT_Buffer_ToHostBuffer(&hargs));
+  await_event(api, hargs.event);
+
+  destroy_buffer(api, out_buf);
+  destroy_buffer(api, in_buf);
+  forward_us_ = std::chrono::duration_cast<std::chrono::microseconds>(
+                    std::chrono::high_resolution_clock::now() - t0)
+                    .count();
+  return host;
+}
+
+}  // namespace pjrt
+}  // namespace net

@@ -81,6 +81,64 @@ def test_fused_mlp_quick_gelu_variant():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_fused_mlp_chunked_matches_xla():
+    """Chunked variant (large models: per-chunk weight residency)."""
+    from vit_fpga_tpu.ops.fused_mlp import fused_mlp_chunked_pallas
+    rng = np.random.default_rng(7)
+    t, d, m = 37, 64, 128
+    x = jnp.asarray(rng.normal(size=(t, d)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(d,)) + 1.0, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(d,)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, m)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(m,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(m, d)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(d,)), jnp.float32)
+    ref = fused_mlp_xla(x, s, b, w1, b1, w2, b2, act="gelu_tanh")
+    for nc in (2, 4):
+        out = fused_mlp_chunked_pallas(x, s, b, w1, b1, w2, b2,
+                                       act="gelu_tanh", block_t=32,
+                                       n_chunks=nc, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_mlp_weight_chunks_geometry():
+    from vit_fpga_tpu.ops.fused_mlp import mlp_weight_chunks
+    assert mlp_weight_chunks(768, 3072, 2) == 1    # ViT-B bf16: unchunked
+    assert mlp_weight_chunks(1024, 4096, 2) == 2   # ViT-L/CLIP-L bf16
+    assert mlp_weight_chunks(1280, 5120, 2) == 4   # ViT-H bf16
+    assert mlp_weight_chunks(768, 3072, 4) == 2    # ViT-B f32
+
+
+def test_attn_block_head_groups_match():
+    """Grouped score-slot schedule is exact for any n_sc."""
+    from vit_fpga_tpu.ops import attn_block as ab
+    rng = np.random.default_rng(8)
+    B, N, D, H = 2, 13, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    ls = jnp.asarray(rng.normal(size=(D,)) + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    wq = jnp.asarray(rng.normal(size=(D, 3 * D)) * 0.1, jnp.float32)
+    bq = jnp.asarray(rng.normal(size=(3 * D,)), jnp.float32)
+    wo = jnp.asarray(rng.normal(size=(D, D)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    ref = ab.attn_block_xla(x, ls, lb, wq, bq, wo, bo, H)
+    orig = ab.score_slots
+    try:
+        for n_sc in (1, 3, 4):
+            for reuse_q in (False, True):
+                ab.score_slots = (
+                    lambda *a, _n=n_sc, _r=reuse_q, **k: (_n, _r, 0))
+                jax.clear_caches()   # score_slots is read at trace time
+                got = ab.attn_block_pallas(x, ls, lb, wq, bq, wo, bo, H,
+                                           interpret=True)
+                np.testing.assert_allclose(np.asarray(got),
+                                           np.asarray(ref),
+                                           rtol=2e-4, atol=2e-4)
+    finally:
+        ab.score_slots = orig
+
+
 def test_streamed_gemm_matches_dot():
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.normal(size=(64, 300)), jnp.float32)

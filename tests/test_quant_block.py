@@ -1,0 +1,71 @@
+"""Int8 transformer-block mega-kernel parity tests (interpret mode)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vit_fpga_tpu.ops import quant_block as qb
+from vit_fpga_tpu.ops.quant_fused import quantize_weight_colwise
+
+
+def _mk(rng, shape, scale=0.1):
+    return jnp.asarray(rng.normal(size=shape) * scale, jnp.float32)
+
+
+def test_mlp_block_int8_matches_ref():
+    rng = np.random.default_rng(0)
+    t, d, m = 40, 64, 128
+    x = _mk(rng, (t, d), 1.0)
+    ls = _mk(rng, (d,), 0.1) + 1.0
+    lb = _mk(rng, (d,), 0.1)
+    w1q, w1s = quantize_weight_colwise(np.asarray(_mk(rng, (d, m))))
+    w2q, w2s = quantize_weight_colwise(np.asarray(_mk(rng, (m, d))))
+    b1 = _mk(rng, (m,), 0.5)
+    b2 = _mk(rng, (d,), 0.5)
+    args = (x, ls, lb, jnp.asarray(w1q), jnp.asarray(w1s), b1,
+            jnp.asarray(w2q), jnp.asarray(w2s), b2)
+    ref = qb.mlp_block_int8_ref(*args, act="gelu_tanh")
+    out = qb.mlp_block_int8(*args, act="gelu_tanh", block_t=32,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_attn_block_int8_matches_ref():
+    rng = np.random.default_rng(1)
+    B, N, D, H = 2, 13, 32, 4
+    x = _mk(rng, (B, N, D), 1.0)
+    ls = _mk(rng, (D,), 0.1) + 1.0
+    lb = _mk(rng, (D,), 0.1)
+    wqkvq, wqkvs = quantize_weight_colwise(np.asarray(_mk(rng, (D, 3 * D))))
+    woq, wos = quantize_weight_colwise(np.asarray(_mk(rng, (D, D))))
+    bqkv = _mk(rng, (3 * D,), 0.2)
+    bo = _mk(rng, (D,), 0.2)
+    args = (x, ls, lb, jnp.asarray(wqkvq), jnp.asarray(wqkvs), bqkv,
+            jnp.asarray(woq), jnp.asarray(wos), bo, H)
+    ref = qb.attn_block_int8_ref(*args)
+    out = qb.attn_block_int8(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_vit_int8_headless_returns_features():
+    """Headless checkpoints (HF ViTModel imports) must not KeyError in the
+    int8 forwards — they return pooled features instead (ADVICE r1)."""
+    from vit_fpga_tpu.models import quantized, vit
+    cfg = vit.config("vit_ti16", image_size=32, num_classes=10,
+                     dtype="float32", attn_impl="xla")
+    params = vit.init_params(jax.random.key(0), cfg)
+    params.pop("head")
+    qp = quantized.quantize_vit(params)
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3), jnp.float32)
+    feats = quantized.vit_forward_int8(qp, x, cfg)
+    assert feats.shape == (2, cfg.hidden_dim)
+    assert np.isfinite(np.asarray(feats, np.float32)).all()
+
+
+def test_int8_block_fits_geometries():
+    from vit_fpga_tpu.models import quantized, vit
+    assert quantized._int8_block_fits(vit.config("vit_b16"))
+    assert quantized._int8_block_fits(vit.config("vit_l14"))

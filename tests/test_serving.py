@@ -90,3 +90,77 @@ def test_serving_device_failure_isolated():
             bad.result(timeout=30)
         good = server.submit_raw(np.zeros((8, 8, 3), np.uint8))
         assert good.result(timeout=30).shape == (4,)
+
+
+def test_serving_close_drains_pending():
+    """close() must resolve every accepted request — no stranded futures
+    (round-2 hardening)."""
+    _, _, fwd = _tiny_forward()
+    rng = np.random.default_rng(3)
+    server = ImageServer(fwd, image_size=32, batch_size=4, flush_ms=50.0)
+    futs = [server.submit_raw(rng.integers(0, 256, (32, 32, 3), np.uint8))
+            for _ in range(6)]
+    server.close()          # drain=True default
+    for f in futs:
+        assert f.done()
+        assert f.result(timeout=1).shape == (8,)
+
+
+def test_serving_submit_after_close_rejected():
+    from vit_fpga_tpu.runtime.serving import ServerClosed
+    _, _, fwd = _tiny_forward()
+    server = ImageServer(fwd, image_size=32, batch_size=4)
+    server.close()
+    with pytest.raises(ServerClosed):
+        server.submit_raw(np.zeros((32, 32, 3), np.uint8))
+    with pytest.raises(ServerClosed):
+        server.submit(b"bytes")
+
+
+def test_serving_flush_deadline_is_per_batch():
+    """A steady trickle must not hold a partial batch open past ~flush_ms
+    total (the deadline is absolute per batch, not per arrival)."""
+    import threading
+    import time as _time
+    _, _, fwd = _tiny_forward()
+    rng = np.random.default_rng(4)
+    with ImageServer(fwd, image_size=32, batch_size=64,
+                     flush_ms=80.0) as server:
+        stop = threading.Event()
+
+        def trickle():
+            while not stop.is_set():
+                try:
+                    server.submit_raw(
+                        rng.integers(0, 256, (32, 32, 3), np.uint8))
+                except Exception:
+                    return
+                _time.sleep(0.02)   # arrivals every 20ms < 80ms flush
+
+        t = threading.Thread(target=trickle, daemon=True)
+        first = server.submit_raw(rng.integers(0, 256, (32, 32, 3),
+                                               np.uint8))
+        t0 = _time.monotonic()
+        t.start()
+        first.result(timeout=30)
+        elapsed = _time.monotonic() - t0
+        stop.set()
+        t.join(timeout=5)
+    # under the old per-arrival deadline this stretches to ~batch*flush
+    # (> 5s); per-batch it's flush + one forward + slack
+    assert elapsed < 3.0, f"flush stretched to {elapsed:.2f}s"
+
+
+def test_serving_latency_percentiles_exported():
+    from vit_fpga_tpu.utils.log import Metrics
+    _, _, fwd = _tiny_forward()
+    Metrics.reset()
+    with ImageServer(fwd, image_size=32, batch_size=2) as server:
+        futs = [server.submit_raw(np.zeros((32, 32, 3), np.uint8))
+                for _ in range(4)]
+        for f in futs:
+            f.result(timeout=60)
+        pct = server.latency_percentiles()
+    assert "p50" in pct and "p99" in pct and pct["p50"] > 0
+    snap = Metrics.snapshot()
+    assert any(k.startswith("serving/latency_ms/") for k in snap)

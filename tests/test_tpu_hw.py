@@ -111,3 +111,101 @@ def test_flash_attention_on_hw():
     out = np.asarray(flash_attention(q, k, v)).astype(np.float32)
     scale = np.abs(ref).max() + 1e-6
     assert np.abs(out - ref).max() / scale < 0.03
+
+
+def test_flash_dispatch_in_mha_qkv_on_hw():
+    """mha_qkv auto-routes to the blockwise flash kernel at long N."""
+    import jax.numpy as jnp
+    from vit_fpga_tpu.ops.attention import (FLASH_SEQ_THRESHOLD, mha_qkv,
+                                            mha_qkv_xla)
+    rng = np.random.default_rng(7)
+    n = FLASH_SEQ_THRESHOLD + 36   # also exercises row padding
+    qkv = jnp.asarray(rng.normal(size=(2, n, 3 * 256)), jnp.bfloat16)
+    ref = np.asarray(mha_qkv_xla(qkv, 4)).astype(np.float32)
+    out = np.asarray(mha_qkv(qkv, 4, impl="pallas")).astype(np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 0.03
+
+
+def test_attn_block_big_tier_on_hw():
+    """ViT-L/16@384 geometry (seq 577) runs the fused kernel via the
+    raised-VMEM tier and matches the XLA reference."""
+    import jax.numpy as jnp
+    from vit_fpga_tpu.ops.attn_block import attn_block_pallas, attn_block_xla
+    rng = np.random.default_rng(8)
+    D, H = 1024, 16
+    x = jnp.asarray(rng.normal(size=(2, 577, D)), jnp.bfloat16)
+    ls = jnp.asarray(rng.normal(size=(D,)) * 0.1 + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+    wq = jnp.asarray(rng.normal(size=(D, 3 * D)) * 0.02, jnp.bfloat16)
+    bq = jnp.asarray(rng.normal(size=(3 * D,)) * 0.1, jnp.float32)
+    wo = jnp.asarray(rng.normal(size=(D, D)) * 0.02, jnp.bfloat16)
+    bo = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+    ref = np.asarray(attn_block_xla(x, ls, lb, wq, bq, wo, bo, H)
+                     ).astype(np.float32)
+    out = np.asarray(attn_block_pallas(x, ls, lb, wq, bq, wo, bo, H)
+                     ).astype(np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 0.03
+
+
+def test_int8_mega_kernels_on_hw():
+    import jax.numpy as jnp
+    from vit_fpga_tpu.ops import quant_block as qb
+    from vit_fpga_tpu.ops.quant_fused import quantize_weight_colwise
+    rng = np.random.default_rng(9)
+    B, N, D, H, M = 2, 197, 768, 12, 3072
+    x = jnp.asarray(rng.normal(size=(B, N, D)), jnp.bfloat16)
+    ls = jnp.ones((D,), jnp.float32); lb = jnp.zeros((D,), jnp.float32)
+    wq, ws = (jnp.asarray(a) for a in quantize_weight_colwise(
+        rng.normal(size=(D, 3 * D)).astype(np.float32) * 0.05))
+    wo, wos = (jnp.asarray(a) for a in quantize_weight_colwise(
+        rng.normal(size=(D, D)).astype(np.float32) * 0.05))
+    bq = jnp.zeros((3 * D,), jnp.float32); bo = jnp.zeros((D,), jnp.float32)
+    ref = np.asarray(qb.attn_block_int8_ref(
+        x, ls, lb, wq, ws, bq, wo, wos, bo, H)).astype(np.float32)
+    out = np.asarray(qb.attn_block_int8(
+        x, ls, lb, wq, ws, bq, wo, wos, bo, H)).astype(np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 0.05
+
+    w1, w1s = (jnp.asarray(a) for a in quantize_weight_colwise(
+        rng.normal(size=(D, M)).astype(np.float32) * 0.05))
+    w2, w2s = (jnp.asarray(a) for a in quantize_weight_colwise(
+        rng.normal(size=(M, D)).astype(np.float32) * 0.05))
+    b1 = jnp.zeros((M,), jnp.float32); b2 = jnp.zeros((D,), jnp.float32)
+    x2 = x.reshape(B * N, D)
+    mref = np.asarray(qb.mlp_block_int8_ref(
+        x2, ls, lb, w1, w1s, b1, w2, w2s, b2)).astype(np.float32)
+    mout = np.asarray(qb.mlp_block_int8(
+        x2, ls, lb, w1, w1s, b1, w2, w2s, b2)).astype(np.float32)
+    mscale = np.abs(mref).max() + 1e-6
+    assert np.abs(mout - mref).max() / mscale < 0.05
+
+
+def test_pjrt_native_client_on_hw(tmp_path):
+    """The pure-native PJRT client (no libpython) compiles and runs a ViT
+    export against the plugin, matching the Python forward."""
+    import subprocess
+    demo = os.path.join(os.path.dirname(__file__),
+                        "../native/build/vft_pjrt_demo")
+    if not os.path.exists(demo):
+        pytest.skip("native build not present (run cmake/ninja first)")
+    plugin = os.environ.get("VFT_PJRT_PLUGIN", "/opt/axon/libaxon_pjrt.so")
+    if not os.path.exists(plugin):
+        pytest.skip(f"no PJRT plugin at {plugin}")
+    from vit_fpga_tpu.utils.export_pjrt import export_vit
+    out = export_vit(str(tmp_path / "model"), variant="vit_ti16",
+                     image_size=64, batch=2, num_classes=10)
+    ldd = subprocess.run(["ldd", demo], capture_output=True, text=True)
+    assert "python" not in ldd.stdout.lower()
+    env = dict(os.environ,
+               AXON_POOL_SVC_OVERRIDE=os.environ.get(
+                   "AXON_POOL_SVC_OVERRIDE", "127.0.0.1"),
+               AXON_LOOPBACK_RELAY="1",
+               TPU_WORKER_HOSTNAMES=os.environ.get(
+                   "TPU_WORKER_HOSTNAMES", "localhost"))
+    run = subprocess.run([demo, f"model={out}", "iters=2"], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert run.returncode == 0, run.stderr[-2000:]
+    assert "PJRT NATIVE DEMO OK" in run.stdout

@@ -135,8 +135,23 @@ def cmd_serve(opts: Options) -> int:
     return 0
 
 
+def cmd_export(opts: Options) -> int:
+    """AOT-export a model for the pure-native PJRT client
+    (native/build/vft_pjrt_demo; see utils/export_pjrt.py)."""
+    from .utils.export_pjrt import export_vit
+    out = export_vit(opts.get("out", str, "/tmp/vft_pjrt_model"),
+                     variant=opts.get("model", str, "vit_b16"),
+                     image_size=opts.get("image", int, 224),
+                     batch=opts.get("batch", int, 8),
+                     num_classes=opts.get("classes", int, 1000),
+                     dtype=opts.get("dtype", str, "bfloat16"),
+                     seed=opts.get("seed", int, 0))
+    print(out)
+    return 0
+
+
 COMMANDS = {"demo": cmd_demo, "bench": cmd_bench, "parity": cmd_parity,
-            "serve": cmd_serve}
+            "serve": cmd_serve, "export": cmd_export}
 
 
 def main(argv=None) -> int:

@@ -223,15 +223,40 @@ def _fused_lin(x3d, wq, ws, b, act="none", ln=None, eps=0.0):
     return out.reshape(bsz, n, -1)
 
 
+def _int8_block_fits(cfg: vit_mod.ViTConfig) -> bool:
+    """Both int8 mega-kernels fit VMEM at this geometry?"""
+    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    from ..ops.quant_block import score_slots_int8
+    n_pad = round_up(cfg.seq_len, SUBLANE_BF16)
+    kv_pad = round_up(cfg.seq_len, LANE)
+    attn_ok = score_slots_int8(cfg.num_heads, cfg.hidden_dim,
+                               n_pad, kv_pad) >= 1
+    mlp_ok = 2 * cfg.hidden_dim * cfg.mlp_dim <= 11 * 1024 * 1024
+    return attn_ok and mlp_ok
+
+
 def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig):
     b, n, d = x.shape
-    # LN1 fused into the quantizing qkv projection
+    act = "quick_gelu" if cfg.hidden_act == "quick_gelu" else "gelu_tanh"
+    if jax.default_backend() == "tpu" and _int8_block_fits(cfg):
+        # round-2 path: whole-half int8 mega-kernels — activations never
+        # leave VMEM between LN/quant/GEMM/dequant/act stages
+        from ..ops.quant_block import attn_block_int8, mlp_block_int8
+        x = attn_block_int8(
+            x, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv_q"],
+            blk["wqkv_s"], blk["bqkv"], blk["wo_q"], blk["wo_s"],
+            blk["bo"], cfg.num_heads, eps=cfg.ln_eps)
+        x2 = mlp_block_int8(
+            x.reshape(b * n, d), blk["ln2_scale"], blk["ln2_bias"],
+            blk["w1_q"], blk["w1_s"], blk["b1"], blk["w2_q"],
+            blk["w2_s"], blk["b2"], eps=cfg.ln_eps, act=act)
+        return x2.reshape(b, n, d)
+    # per-linear fused path (any geometry / backend)
     qkv = _fused_lin(x, blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"],
                      ln=(blk["ln1_scale"], blk["ln1_bias"]),
                      eps=cfg.ln_eps)
     o = mha_qkv(qkv, cfg.num_heads, impl=cfg.attn_impl)
     x = x + _fused_lin(o, blk["wo_q"], blk["wo_s"], blk["bo"])
-    act = "quick_gelu" if cfg.hidden_act == "quick_gelu" else "gelu_tanh"
     # LN2 fused into the quantizing w1 projection (+ activation)
     h = _fused_lin(x, blk["w1_q"], blk["w1_s"], blk["b1"], act=act,
                    ln=(blk["ln2_scale"], blk["ln2_bias"]), eps=cfg.ln_eps)

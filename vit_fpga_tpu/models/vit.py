@@ -216,8 +216,9 @@ def _attn_block_fits(cfg: ViTConfig) -> bool:
     sub = SUBLANE_BF16 if itemsize == 2 else SUBLANE_F32
     n_pad = round_up(cfg.seq_len, sub)
     kv_pad = round_up(cfg.seq_len, LANE)
-    return score_slots(cfg.num_heads, cfg.hidden_dim, n_pad, kv_pad,
-                       itemsize) >= 1
+    n_sc, _, _ = score_slots(cfg.num_heads, cfg.hidden_dim, n_pad, kv_pad,
+                             itemsize)
+    return n_sc >= 1
 
 
 def _block(x, blk, cfg: ViTConfig):
@@ -249,25 +250,32 @@ def _block(x, blk, cfg: ViTConfig):
         x = x + (o @ blk["wo"].astype(dt) + blk["bo"].astype(dt))
 
     mlp_impl = cfg.mlp_impl
+    n_chunks = 1
     if mlp_impl == "auto":
-        # fused kernel needs both weight mats VMEM-resident (~<12MB);
-        # weights are cast to the compute dtype, so budget by its itemsize
+        # weight residency: unchunked if w1+w2 fit VMEM; otherwise split
+        # mlp_dim into column chunks (ViT-L/H, CLIP-L) — still fused
+        from ..ops.fused_mlp import mlp_weight_chunks
         itemsize = 2 if cfg.dtype == "bfloat16" else 4
-        fits = (cfg.hidden_dim * cfg.mlp_dim * 2 * itemsize
-                ) < 12 * 1024 * 1024
-        mlp_impl = ("pallas" if jax.default_backend() == "tpu" and fits
-                    else "xla")
+        n_chunks = mlp_weight_chunks(cfg.hidden_dim, cfg.mlp_dim, itemsize)
+        mlp_impl = ("pallas" if jax.default_backend() == "tpu"
+                    and n_chunks >= 1 else "xla")
     act_name = cfg.hidden_act
     if act_name == "gelu" and dt == jnp.bfloat16:
         act_name = "gelu_tanh"  # see _hidden_act
     if mlp_impl == "pallas" and act_name == "gelu":
         mlp_impl = "xla"  # Mosaic has no erf/erfc lowering (f32 mode)
     if mlp_impl == "pallas":
-        from ..ops.fused_mlp import fused_mlp
-        x2 = fused_mlp(
-            x.reshape(b * n, d), blk["ln2_scale"], blk["ln2_bias"],
-            blk["w1"].astype(dt), blk["b1"], blk["w2"].astype(dt),
-            blk["b2"], cfg.ln_eps, act_name)
+        from ..ops.fused_mlp import fused_mlp, fused_mlp_chunked
+        if n_chunks > 1:
+            x2 = fused_mlp_chunked(
+                x.reshape(b * n, d), blk["ln2_scale"], blk["ln2_bias"],
+                blk["w1"].astype(dt), blk["b1"], blk["w2"].astype(dt),
+                blk["b2"], cfg.ln_eps, act_name, n_chunks)
+        else:
+            x2 = fused_mlp(
+                x.reshape(b * n, d), blk["ln2_scale"], blk["ln2_bias"],
+                blk["w1"].astype(dt), blk["b1"], blk["w2"].astype(dt),
+                blk["b2"], cfg.ln_eps, act_name)
         return x2.reshape(b, n, d)
     h = _layernorm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
     h = h @ blk["w1"].astype(dt) + blk["b1"].astype(dt)

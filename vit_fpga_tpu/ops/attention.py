@@ -260,11 +260,48 @@ def _mha_qkv_bwd(num_heads, n_valid, res, g):
 _mha_qkv_diff.defvjp(_mha_qkv_fwd, _mha_qkv_bwd)
 
 
+def _mha_qkv_flash_impl(qkv, num_heads: int, n_valid):
+    """Packed-qkv -> blockwise flash attention -> packed output.  Pays two
+    head-split transposes in HBM, which O(N) memory amortizes at long N."""
+    from .flash_attention import flash_attention
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    q = qkv[..., :d].reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
+    k = qkv[..., d:2 * d].reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
+    v = qkv[..., 2 * d:].reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
+    o = flash_attention(q, k, v, n_valid=n_valid,
+                        bq=min(512, round_up(n, LANE)), bk=LANE)
+    return o.transpose(0, 2, 1, 3).reshape(b, n, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _mha_qkv_flash_diff(qkv, num_heads: int, n_valid):
+    """Differentiable flash path: Pallas forward, XLA-recompute backward."""
+    return _mha_qkv_flash_impl(qkv, num_heads, n_valid)
+
+
+def _mha_qkv_flash_fwd(qkv, num_heads, n_valid):
+    return _mha_qkv_flash_impl(qkv, num_heads, n_valid), (qkv,)
+
+
+_mha_qkv_flash_diff.defvjp(_mha_qkv_flash_fwd, _mha_qkv_bwd)
+
+
+# Above this sequence length the whole-sequence kernel's (N, N) scores
+# stress VMEM and the O(N)-memory blockwise kernel wins.
+FLASH_SEQ_THRESHOLD = 1024
+
+
 def mha_qkv(qkv, num_heads: int, n_valid: int | None = None,
             impl: str = "auto"):
     """Packed-qkv attention dispatch (the model hot path)."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and qkv.shape[1] >= FLASH_SEQ_THRESHOLD:
+        impl = "flash"   # long sequences: O(N) blockwise kernel
+    if impl == "flash":
+        return _mha_qkv_flash_diff(qkv, num_heads, n_valid)
     if impl == "pallas":
         return _mha_qkv_diff(qkv, num_heads, n_valid)
     return mha_qkv_xla(qkv, num_heads, n_valid=n_valid)

@@ -57,11 +57,14 @@ def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                                              "interpret"))
 def fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
                      eps: float = 1e-6, act: str = "gelu",
-                     block_t: int = 256, interpret: bool = False):
+                     block_t: int = 512, interpret: bool = False):
     """x: (T, D) tokens. Returns x + MLP(LN(x)), matching the model block.
 
-    VMEM budget at ViT-B (D=768, M=3072, bf16, block_t=512): w1+w2 9.4 MB,
-    x/xn/out tiles 2.4 MB, h tile 3 MB -> comfortably under 16 MB.
+    block_t=512 measured fastest at ViT-B geometry on v5e (185 vs 172 TF/s
+    at 256; 1024/2048 regress — bigger tiles starve cross-cell DMA
+    pipelining).  Mosaic streams the (block_t, M) f32 hidden tile through
+    the activation without materializing it, so the VMEM high-water mark
+    stays well under the limit even at 512.
     """
     t, d = x.shape
     m = w1.shape[1]
@@ -105,6 +108,96 @@ def fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
     return out[:t]
 
 
+def _mlp_chunk_kernel(x_ref, base_ref, s_ref, b_ref, w1_ref, b1_ref,
+                      w2_ref, b2_ref, o_ref, *, eps: float, act: str,
+                      add_b2: bool):
+    """One mlp_dim chunk: o = base + act(LN(x) @ w1c + b1c) @ w2c [+ b2].
+
+    ``base`` is x for the first chunk (residual) and the running
+    accumulator after; column chunks of h are disjoint, so per-chunk
+    activation is exact.
+    """
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * s_ref[0] +
+          b_ref[0]).astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[:],
+                preferred_element_type=jnp.float32) + b1_ref[0]
+    h = _act(h, act).astype(x.dtype)
+    y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    if add_b2:
+        y = y + b2_ref[0]
+    o_ref[:] = base_ref[:] + y.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
+                                             "n_chunks", "interpret"))
+def fused_mlp_chunked_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                             eps: float = 1e-6, act: str = "gelu",
+                             block_t: int = 256, n_chunks: int = 2,
+                             interpret: bool = False):
+    """Fused MLP for models whose w1+w2 exceed VMEM (ViT-L/H, CLIP-L):
+    mlp_dim is split into ``n_chunks`` column chunks, one pallas sweep per
+    chunk with that chunk's weights VMEM-resident; partial outputs
+    accumulate through HBM (extra traffic: (n_chunks-1) round-trips of the
+    (T, D) activations — ~2 orders below the weight traffic it avoids)."""
+    t, d = x.shape
+    m = w1.shape[1]
+    assert m % n_chunks == 0, (m, n_chunks)
+    mc = m // n_chunks
+    tp = round_up(t, block_t)
+    if tp != t:
+        x = jnp.pad(x, ((0, tp - t), (0, 0)))
+    w1 = w1.astype(x.dtype)
+    w2 = w2.astype(x.dtype)
+    ln_scale = ln_scale.reshape(1, -1).astype(jnp.float32)
+    ln_bias = ln_bias.reshape(1, -1).astype(jnp.float32)
+    b1 = b1.reshape(1, -1).astype(jnp.float32)
+    b2 = b2.reshape(1, -1).astype(jnp.float32)
+
+    tile = pl.BlockSpec((block_t, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    acc = x
+    for c in range(n_chunks):
+        acc = pl.pallas_call(
+            functools.partial(_mlp_chunk_kernel, eps=eps, act=act,
+                              add_b2=(c == n_chunks - 1)),
+            grid=(tp // block_t,),
+            in_specs=[tile, tile, const((1, d)), const((1, d)),
+                      const((d, mc)), const((1, mc)),
+                      const((mc, d)), const((1, d))],
+            out_specs=tile,
+            out_shape=jax.ShapeDtypeStruct((tp, d), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * tp * d * mc,
+                bytes_accessed=(3 * tp * d + 2 * d * mc) * x.dtype.itemsize,
+                transcendentals=tp * mc),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(x, acc, ln_scale, ln_bias,
+          w1[:, c * mc:(c + 1) * mc], b1[:, c * mc:(c + 1) * mc],
+          w2[c * mc:(c + 1) * mc, :], b2)
+    return acc[:t]
+
+
+def mlp_weight_chunks(d: int, m: int, itemsize: int,
+                      budget: int = 11 * 1024 * 1024) -> int:
+    """Smallest power-of-two chunk count whose per-chunk weights fit the
+    VMEM budget (alongside ~4 token tiles + the h tile); 1 = unchunked."""
+    n = 1
+    while n <= 16:
+        if 2 * d * (m // n) * itemsize <= budget and m % n == 0:
+            return n
+        n *= 2
+    return 0
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float,
               act: str):
@@ -130,6 +223,30 @@ def _fused_mlp_bwd(eps, act, res, g):
 
 
 fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_mlp_chunked(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float,
+                      act: str, n_chunks: int):
+    """Differentiable chunked fused MLP: Pallas forward, XLA-recompute
+    backward (same rematerialization contract as fused_mlp)."""
+    return fused_mlp_chunked_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                                    eps=eps, act=act, n_chunks=n_chunks)
+
+
+def _fused_mlp_chunked_fwd(x, s, b, w1, b1, w2, b2, eps, act, n_chunks):
+    out = fused_mlp_chunked_pallas(x, s, b, w1, b1, w2, b2, eps=eps,
+                                   act=act, n_chunks=n_chunks)
+    return out, (x, s, b, w1, b1, w2, b2)
+
+
+def _fused_mlp_chunked_bwd(eps, act, n_chunks, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: fused_mlp_xla(*a, eps=eps, act=act), *res)
+    return vjp(g)
+
+
+fused_mlp_chunked.defvjp(_fused_mlp_chunked_fwd, _fused_mlp_chunked_bwd)
 
 
 def fused_mlp_xla(x, ln_scale, ln_bias, w1, b1, w2, b2,

@@ -1,0 +1,288 @@
+"""Int8 transformer-block mega-kernels — the fast quantized datapath.
+
+Round-1's int8 fast path ran one fused int8 linear per projection
+(ops/quant_fused.py); each kernel still round-tripped bf16 activations
+through HBM and paid quantize/dequantize VPU work serialized against its
+own GEMM, landing SLOWER than bf16 (21.4 vs 17.9 ms/step on ViT-B/16 b64).
+
+These kernels quantize at block granularity instead, mirroring the bf16
+mega-kernels (ops/attn_block.py v2 design, ops/fused_mlp.py):
+
+  * ``mlp_block_int8``: LN -> row-quant -> int8 GEMM1 (int32 acc, 2x bf16
+    MXU rate) -> dequant+bias -> activation -> row-quant -> int8 GEMM2 ->
+    dequant+bias -> +residual, one VMEM pass per token tile.  The (t, M)
+    hidden tile never touches HBM in EITHER precision.
+  * ``attn_block_int8``: the attention-half mega-kernel with int8
+    QKV/out projections (attention math itself stays bf16 — its GEMMs are
+    64-deep and VMEM-resident; int8 would add quantize steps for ~0 MXU
+    win).  Same sublane row padding, zero-tailed K/V panel, head-group
+    schedule, and q-slot reuse as the bf16 kernel.
+
+Weights are int8 per-output-column (quantize_weight_colwise); activations
+per-row (per-token) dynamic, computed in-kernel — no extra HBM passes.
+Int8 weights also halve the VMEM weight footprint, so CLIP-L geometries
+fit with more score slots than bf16.
+
+Contract: tolerance parity vs the row-wise quantized reference
+(ops/quant_fused.int8_linear_rowwise_ref composition); the bit-exact
+fixed-point contract stays with ops/quant.py.  Reference hook: the int8
+datapath the reference's FPGA bitstream advertised (SURVEY.md §2.2 item 4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
+from .quant_fused import QMAX
+
+_NEG_INF = -1e30
+
+
+def _row_quant(xf):
+    """(t, k) f32 -> int8 rows + (t, 1) f32 scales (symmetric absmax)."""
+    absmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
+    sx = absmax / QMAX
+    xq = jnp.clip(jnp.rint(xf / sx), -QMAX, QMAX).astype(jnp.int8)
+    return xq, sx
+
+
+def _ln_f32(x, s_ref, b_ref, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * s_ref[0] + b_ref[0]
+
+
+def _apply_act(h, act: str):
+    if act == "gelu_tanh":
+        return jax.nn.gelu(h, approximate=True)
+    if act == "quick_gelu":
+        return h * jax.nn.sigmoid(1.702 * h)
+    if act == "relu":
+        return jnp.maximum(h, 0.0)
+    raise ValueError(act)
+
+
+# ---------------------------------------------------------------------------
+# MLP half
+# ---------------------------------------------------------------------------
+
+def _mlp_int8_kernel(x_ref, ls_ref, lb_ref, w1_ref, s1_ref, b1_ref,
+                     w2_ref, s2_ref, b2_ref, o_ref, *, eps: float,
+                     act: str):
+    x = x_ref[:]
+    xn = _ln_f32(x, ls_ref, lb_ref, eps)
+    xq, sx = _row_quant(xn)
+    acc1 = jax.lax.dot_general(xq, w1_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    h = acc1.astype(jnp.float32) * (sx * s1_ref[0]) + b1_ref[0]
+    h = _apply_act(h, act)
+    hq, sh = _row_quant(h)
+    acc2 = jax.lax.dot_general(hq, w2_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    y = acc2.astype(jnp.float32) * (sh * s2_ref[0]) + b2_ref[0]
+    o_ref[:] = x + y.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
+                                             "interpret"))
+def mlp_block_int8(x, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2,
+                   eps: float = 1e-6, act: str = "gelu_tanh",
+                   block_t: int = 256, interpret: bool = False):
+    """x: (T, D) bf16 tokens -> x + MLP_int8(LN(x)).  w*q int8 (K, N),
+    w*s f32 (N,) column scales."""
+    t, d = x.shape
+    m = w1q.shape[1]
+    tp = round_up(t, block_t)
+    if tp != t:
+        x = jnp.pad(x, ((0, tp - t), (0, 0)))
+
+    tile = pl.BlockSpec((block_t, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_int8_kernel, eps=eps, act=act),
+        grid=(tp // block_t,),
+        in_specs=[tile, const((1, d)), const((1, d)),
+                  const((d, m)), const((1, m)), const((1, m)),
+                  const((m, d)), const((1, d)), const((1, d))],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((tp, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * tp * d * m,
+            bytes_accessed=2 * tp * d * x.dtype.itemsize + 2 * d * m,
+            transcendentals=2 * tp * m),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x, ln_scale.reshape(1, -1).astype(jnp.float32),
+      ln_bias.reshape(1, -1).astype(jnp.float32),
+      w1q, w1s.reshape(1, -1).astype(jnp.float32),
+      b1.reshape(1, -1).astype(jnp.float32),
+      w2q, w2s.reshape(1, -1).astype(jnp.float32),
+      b2.reshape(1, -1).astype(jnp.float32))
+    return out[:t]
+
+
+def mlp_block_int8_ref(x, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2,
+                       eps: float = 1e-6, act: str = "gelu_tanh"):
+    """Reference semantics (jnp, any backend)."""
+    from .quant_fused import int8_linear_rowwise_ref
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+    h = int8_linear_rowwise_ref(xn, w1q, w1s, b1, act=act)
+    y = int8_linear_rowwise_ref(h, w2q, w2s, b2)
+    return x + y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention half
+# ---------------------------------------------------------------------------
+
+def score_slots_int8(n_heads: int, d: int, n_pad: int, kv_pad: int,
+                     budget: int = 13 * 1024 * 1024) -> int:
+    """VMEM head-group size for the int8 attention kernel (weights int8,
+    activations bf16)."""
+    weights = 3 * d * d + d * d                  # int8
+    panel = kv_pad * 3 * d * 2                   # bf16
+    tiles = 4 * n_pad * d * 2
+    fixed = weights + panel + tiles
+    slot = n_pad * kv_pad * 4
+    if fixed + slot > budget:
+        return 0
+    return min(n_heads, (budget - fixed) // slot)
+
+
+def _attn_int8_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                      wo_ref, so_ref, bo_ref, o_ref, qkv_ref, scores_ref, *,
+                      eps: float, scale: float, n_valid: int, n_pad: int,
+                      kv_pad: int, n_heads: int, dh: int, n_sc: int):
+    x = x_ref[0]
+    d = n_heads * dh
+
+    xn = _ln_f32(x, ls_ref, lb_ref, eps)
+    xq, sx = _row_quant(xn)
+    acc = jax.lax.dot_general(xq, wqkv_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    qkv = (acc.astype(jnp.float32) * (sx * sqkv_ref[0])
+           + bqkv_ref[0]).astype(x.dtype)
+    if kv_pad != n_pad:
+        qkv_ref[:n_pad] = qkv
+        qkv_ref[n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d), x.dtype)
+    else:
+        qkv_ref[:] = qkv
+
+    for g in range(0, n_heads, n_sc):
+        heads = range(g, min(g + n_sc, n_heads))
+        for h in heads:
+            q = qkv_ref[:n_pad, h * dh:(h + 1) * dh]
+            k = qkv_ref[:, d + h * dh:d + (h + 1) * dh]
+            scores_ref[h - g] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+        for h in heads:
+            s = scores_ref[h - g]
+            if n_valid < kv_pad:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n_valid, s, _NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+            v = qkv_ref[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            qkv_ref[:n_pad, h * dh:(h + 1) * dh] = jnp.dot(
+                p, v, preferred_element_type=jnp.float32).astype(x.dtype)
+
+    aoq, sa = _row_quant(qkv_ref[:n_pad, :d].astype(jnp.float32))
+    acc_o = jax.lax.dot_general(aoq, wo_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    y = acc_o.astype(jnp.float32) * (sa * so_ref[0]) + bo_ref[0]
+    o_ref[0] = x + y.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "n_valid",
+                                             "interpret"))
+def attn_block_int8(x, ln_scale, ln_bias, wqkvq, wqkvs, bqkv, woq, wos, bo,
+                    num_heads: int, eps: float = 1e-6,
+                    n_valid: int | None = None, interpret: bool = False):
+    """x: (B, N, D) bf16 -> x + OutProj_int8(MHA(QKV_int8(LN(x))))."""
+    b, n, d = x.shape
+    dh = d // num_heads
+    if n_valid is None:
+        n_valid = n
+    sub = SUBLANE_BF16 if x.dtype == jnp.bfloat16 else SUBLANE_F32
+    n_pad = round_up(n, sub)
+    kv_pad = round_up(n, LANE)
+    if n_pad != n:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+    n_sc = score_slots_int8(num_heads, d, n_pad, kv_pad)
+    if n_sc < 1:
+        raise ValueError(f"attn_block_int8 does not fit VMEM at d={d}, "
+                         f"seq={n}")
+
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_int8_kernel, eps=eps,
+                          scale=1.0 / (dh ** 0.5), n_valid=min(n_valid, n),
+                          n_pad=n_pad, kv_pad=kv_pad, n_heads=num_heads,
+                          dh=dh, n_sc=n_sc),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, d)), const((1, d)),
+            const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
+            const((d, d)), const((1, d)), const((1, d)),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((kv_pad, 3 * d), x.dtype),
+            pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_pad * d * (3 * d + d)
+            + 4 * b * num_heads * n_pad * kv_pad * dh,
+            bytes_accessed=2 * b * n_pad * d * x.dtype.itemsize
+            + 4 * d * d,
+            transcendentals=b * num_heads * n_pad * kv_pad),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x, ln_scale.reshape(1, -1).astype(jnp.float32),
+      ln_bias.reshape(1, -1).astype(jnp.float32),
+      wqkvq, wqkvs.reshape(1, -1).astype(jnp.float32),
+      bqkv.reshape(1, -1).astype(jnp.float32),
+      woq, wos.reshape(1, -1).astype(jnp.float32),
+      bo.reshape(1, -1).astype(jnp.float32))
+    return out[:, :n, :]
+
+
+def attn_block_int8_ref(x, ln_scale, ln_bias, wqkvq, wqkvs, bqkv, woq, wos,
+                        bo, num_heads: int, eps: float = 1e-6):
+    """Reference semantics (jnp, any backend)."""
+    from .attention import mha_qkv_xla
+    from .quant_fused import int8_linear_rowwise_ref
+    b, n, d = x.shape
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+    qkv = int8_linear_rowwise_ref(xn.reshape(b * n, d), wqkvq, wqkvs,
+                                  bqkv).astype(x.dtype).reshape(b, n, 3 * d)
+    o = mha_qkv_xla(qkv, num_heads)
+    y = int8_linear_rowwise_ref(
+        o.reshape(b * n, d).astype(jnp.float32), woq, wos, bo)
+    return x + y.reshape(b, n, d).astype(x.dtype)

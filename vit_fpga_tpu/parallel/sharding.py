@@ -51,8 +51,13 @@ def vit_param_sharding(mesh: Mesh) -> Dict[str, Any]:
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard the leading (batch) dim over dp; replicate the rest."""
-    return _ns(mesh, "dp", *([None] * (ndim - 1)))
+    """Shard the leading (batch) dim over the data axes; replicate the
+    rest.  On a hybrid ("dcn", "dp", "tp") mesh the batch spans both
+    data axes — the gradient all-reduce then decomposes into a fast ICI
+    reduce-scatter/all-gather within a slice plus one DCN all-reduce of
+    the already-reduced shards (the multi-slice recipe)."""
+    batch_axes = (("dcn", "dp") if "dcn" in mesh.axis_names else "dp")
+    return _ns(mesh, batch_axes, *([None] * (ndim - 1)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

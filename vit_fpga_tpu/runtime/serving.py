@@ -169,7 +169,11 @@ class ImageServer:
 
     def _complete_loop(self) -> None:
         from ..utils.log import Metrics
-        while not self._stop.is_set() or not self._dispatched.empty():
+        # Exit only once the batcher can no longer dispatch: stop set AND
+        # batcher thread finished AND queue drained (otherwise a batch
+        # sitting in the batcher's flush window would strand its futures).
+        while (not self._stop.is_set() or self._batcher.is_alive()
+               or not self._dispatched.empty()):
             try:
                 out, futs, n = self._dispatched.get(timeout=0.05)
             except queue.Empty:

@@ -1,0 +1,102 @@
+"""AOT export for the pure-native PJRT client.
+
+The reference ships a static library an app links with NO Python anywhere
+(/root/reference/Makefile:75,94-95).  Round 1's native TPU path embedded a
+CPython interpreter (native/src/net_tpu_embed.cc); this module provides
+the true native analogue: export the jitted model as StableHLO + flat
+weights, and the C++ PJRT C-API client (native/src/net_pjrt.cc) compiles
+and runs it against any PJRT plugin (libtpu.so on a TPU host) with no
+libpython in sight.
+
+Artifacts written to ``out_dir``:
+  model.mlir          — StableHLO text of forward_raw(params, uint8 imgs)
+  compile_options.pb  — serialized xla.CompileOptionsProto
+  weights.bin         — all param leaves, raw bytes, back to back
+  manifest.txt        — arg table (see format below), line-oriented so the
+                        C++ side needs no JSON parser
+
+Manifest format (whitespace-separated, one record per line):
+  vft-pjrt-manifest v1
+  nargs <N>
+  arg <idx> <kind weight|input> <dtype> <ndim> <dims...> <offset> <nbytes>
+  out <dtype> <ndim> <dims...>
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+_DTYPE_NAMES = {"float32": "f32", "bfloat16": "bf16", "uint8": "u8",
+                "int8": "i8", "int32": "i32"}
+
+
+def export_vit(out_dir: str, variant: str = "vit_b16",
+               image_size: int = 224, batch: int = 8,
+               num_classes: int = 1000, dtype: str = "bfloat16",
+               params: Optional[dict] = None, seed: int = 0) -> str:
+    """Lower the ViT raw-pixel forward for a fixed batch and dump the
+    native-client artifact directory.  Returns ``out_dir``."""
+    import jax
+    import jax.numpy as jnp
+    from jaxlib import xla_client
+
+    from ..models import vit
+
+    cfg = vit.config(variant, image_size=image_size,
+                     num_classes=num_classes, dtype=dtype)
+    if params is None:
+        params = vit.init_params(jax.random.key(seed), cfg)
+
+    img_spec = jax.ShapeDtypeStruct((batch, image_size, image_size, 3),
+                                    jnp.uint8)
+    fn = jax.jit(lambda p, x: vit.forward_raw(p, x, cfg))
+    lowered = fn.lower(params, img_spec)
+    mlir_text = lowered.as_text()
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "model.mlir"), "w") as f:
+        f.write(mlir_text)
+    with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
+        f.write(xla_client.CompileOptions().SerializeAsString())
+
+    leaves = jax.tree_util.tree_leaves(params)
+    lines = ["vft-pjrt-manifest v1", f"nargs {len(leaves) + 1}"]
+    offset = 0
+    with open(os.path.join(out_dir, "weights.bin"), "wb") as f:
+        for i, leaf in enumerate(leaves):
+            arr = np.asarray(leaf)
+            name = _DTYPE_NAMES[str(arr.dtype)]
+            raw = arr.tobytes()
+            dims = " ".join(str(d) for d in arr.shape)
+            lines.append(f"arg {i} weight {name} {arr.ndim} {dims} "
+                         f"{offset} {len(raw)}")
+            f.write(raw)
+            offset += len(raw)
+    lines.append(f"arg {len(leaves)} input u8 4 {batch} {image_size} "
+                 f"{image_size} 3 0 0")
+    lines.append(f"out f32 2 {batch} {num_classes}")
+    with open(os.path.join(out_dir, "manifest.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return out_dir
+
+
+def main(argv=None) -> None:
+    import sys
+
+    from .options import Options
+    opts = Options(sys.argv[1:] if argv is None else argv)
+    export_vit(opts.get("out", str, "/tmp/vft_pjrt_model"),
+               variant=opts.get("model", str, "vit_b16"),
+               image_size=opts.get("image", int, 224),
+               batch=opts.get("batch", int, 8),
+               num_classes=opts.get("classes", int, 1000),
+               dtype=opts.get("dtype", str, "bfloat16"),
+               seed=opts.get("seed", int, 0))
+    print(opts.get("out", str, "/tmp/vft_pjrt_model"))
+
+
+if __name__ == "__main__":
+    main()
