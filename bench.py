@@ -104,6 +104,9 @@ def main(argv):
     if mode == "train":
         # ms per optimizer step — net-new capability: the reference stubs
         # training entirely (/root/reference/src/netFPGA.cpp:518-580).
+        if is_clip or dtype == "int8":
+            raise SystemExit("mode=train supports the ViT classifier "
+                             "family in bf16/float32")
         import optax
         from vit_fpga_tpu.train.trainer import make_vit_train_step
         opt = optax.sgd(1e-4)
@@ -113,9 +116,15 @@ def main(argv):
 
         # images LAST: the device-loop timer threads its serial-dependency
         # perturbation through the final argument, which must be float.
+        # Fold every updated parameter into the returned scalar — without
+        # this XLA dead-code-eliminates the whole backward + optimizer
+        # (observed: "train" matching pure-forward time).
         def train_once(p, s, y, x):
-            _, _, m = step(p, s, x, y)
-            return m["loss"]
+            p2, _, m = step(p, s, x, y)
+            leaves = jax.tree_util.tree_leaves(p2)
+            anchor = sum(jnp.sum(l).astype(jnp.float32) * 1e-20
+                         for l in leaves)
+            return m["loss"] + anchor
 
         sec = time_device_loop(train_once,
                                (params, opt_state, labels, images),

@@ -110,11 +110,12 @@ def test_mlp_weight_chunks_geometry():
     assert mlp_weight_chunks(768, 3072, 4) == 2    # ViT-B f32
 
 
-def test_attn_block_head_groups_match():
-    """Grouped score-slot schedule is exact for any n_sc."""
+def test_attn_block_plan_variants_match():
+    """Every tier shape — head groups, q-slot reuse, multi-image cells —
+    is exact."""
     from vit_fpga_tpu.ops import attn_block as ab
     rng = np.random.default_rng(8)
-    B, N, D, H = 2, 13, 32, 4
+    B, N, D, H = 4, 13, 32, 4
     x = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
     ls = jnp.asarray(rng.normal(size=(D,)) + 1.0, jnp.float32)
     lb = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
@@ -123,20 +124,40 @@ def test_attn_block_head_groups_match():
     wo = jnp.asarray(rng.normal(size=(D, D)) * 0.1, jnp.float32)
     bo = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
     ref = ab.attn_block_xla(x, ls, lb, wq, bq, wo, bo, H)
-    orig = ab.score_slots
+    orig = ab.attn_plan
+    plans = [ab.AttnPlan(1, 1, False, 0), ab.AttnPlan(1, 3, False, 0),
+             ab.AttnPlan(1, 2, True, 0), ab.AttnPlan(1, 4, True, 0),
+             ab.AttnPlan(2, 2, False, 0), ab.AttnPlan(4, 4, False, 0)]
     try:
-        for n_sc in (1, 3, 4):
-            for reuse_q in (False, True):
-                ab.score_slots = (
-                    lambda *a, _n=n_sc, _r=reuse_q, **k: (_n, _r, 0))
-                jax.clear_caches()   # score_slots is read at trace time
-                got = ab.attn_block_pallas(x, ls, lb, wq, bq, wo, bo, H,
-                                           interpret=True)
-                np.testing.assert_allclose(np.asarray(got),
-                                           np.asarray(ref),
-                                           rtol=2e-4, atol=2e-4)
+        for plan in plans:
+            ab.attn_plan = lambda *a, _p=plan, **k: _p
+            jax.clear_caches()   # attn_plan is read at trace time
+            got = ab.attn_block_pallas(x, ls, lb, wq, bq, wo, bo, H,
+                                       interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
     finally:
-        ab.score_slots = orig
+        ab.attn_plan = orig
+
+
+def test_attn_plan_geometries():
+    """The tier planner picks the measured-best tier per geometry."""
+    from vit_fpga_tpu.ops.attn_block import attn_plan
+    # ViT-B b64: multi tier, 4 imgs
+    p = attn_plan(12, 768, 208, 256, 2, batch=64)
+    assert p.imgs == 4 and not p.reuse_q and p.n_sc == 6
+    # ViT-B batch not divisible by 2: falls to fast tier
+    p = attn_plan(12, 768, 208, 256, 2, batch=7)
+    assert p.imgs == 1 and not p.reuse_q and p.n_sc >= 6
+    # CLIP-L: tight tier
+    p = attn_plan(16, 1024, 272, 384, 2, batch=64)
+    assert p.imgs == 1 and p.reuse_q and p.n_sc == 2
+    # ViT-L@384: big tier
+    p = attn_plan(16, 1024, 592, 640, 2, batch=16)
+    assert p.imgs == 1 and not p.reuse_q and p.vmem_limit > 0
+    # ViT-H@672: nothing fits -> flash/XLA path
+    p = attn_plan(16, 1280, 2320, 2432, 2, batch=8)
+    assert p.n_sc == 0
 
 
 def test_streamed_gemm_matches_dot():

@@ -83,7 +83,15 @@ def forward(params: Params, images: jax.Array,
         def step(carry, blk):
             return block_fn(carry, blk), None
 
-        x, _ = jax.lax.scan(step, x, params["blocks"])
+        use_scan = (cfg.scan_blocks if cfg.scan_blocks is not None
+                    else cfg.remat)
+        if use_scan:
+            x, _ = jax.lax.scan(step, x, params["blocks"])
+        else:   # unrolled: measured faster (see ViTConfig.scan_blocks)
+            for i in range(cfg.depth):
+                blk = jax.tree_util.tree_map(lambda a: a[i],
+                                             params["blocks"])
+                x, _ = step(x, blk)
         pooled = vit_mod._layernorm(x[:, 0], params["ln_f_scale"],
                                     params["ln_f_bias"], cfg.ln_eps)
         return pooled.astype(jnp.float32) @ params["proj"]

@@ -229,8 +229,9 @@ def _int8_block_fits(cfg: vit_mod.ViTConfig) -> bool:
     from ..ops.quant_block import score_slots_int8
     n_pad = round_up(cfg.seq_len, SUBLANE_BF16)
     kv_pad = round_up(cfg.seq_len, LANE)
-    attn_ok = score_slots_int8(cfg.num_heads, cfg.hidden_dim,
-                               n_pad, kv_pad) >= 1
+    n_sc, _ = score_slots_int8(cfg.num_heads, cfg.hidden_dim,
+                               n_pad, kv_pad)
+    attn_ok = n_sc >= 1
     mlp_ok = 2 * cfg.hidden_dim * cfg.mlp_dim <= 11 * 1024 * 1024
     return attn_ok and mlp_ok
 
@@ -280,7 +281,15 @@ def vit_forward_int8_fast(qparams: Params, images: jax.Array,
     def step(carry, blk):
         return _qblock_fast(carry, blk, cfg), None
 
-    x, _ = jax.lax.scan(step, x, qparams["blocks"])
+    use_scan = (cfg.scan_blocks if cfg.scan_blocks is not None
+                else cfg.remat)
+    if use_scan:
+        x, _ = jax.lax.scan(step, x, qparams["blocks"])
+    else:   # unrolled: measured faster (see ViTConfig.scan_blocks)
+        for i in range(cfg.depth):
+            blk = jax.tree_util.tree_map(lambda a: a[i],
+                                         qparams["blocks"])
+            x, _ = step(x, blk)
     x = vit_mod._layernorm(x, qparams["ln_f_scale"], qparams["ln_f_bias"],
                            cfg.ln_eps)
     if "head" not in qparams:   # headless import (HF ViTModel): features out

@@ -55,6 +55,11 @@ class ViTConfig:
     hidden_act: str = "gelu"         # gelu (erf) | gelu_tanh | quick_gelu
     mlp_impl: str = "auto"           # auto | pallas (fused) | xla
     remat: bool = False              # jax.checkpoint each block (training)
+    # None = auto: unrolled python loop for inference (measured 1.2 ms/step
+    # faster than lax.scan at ViT-B b64 — scan's per-layer weight slices
+    # feeding custom calls cost real HBM), lax.scan when remat is on
+    # (training wants the single-trace scan for compile time + memory).
+    scan_blocks: Optional[bool] = None
     mean: Tuple[float, ...] = IMAGENET_MEAN
     std: Tuple[float, ...] = IMAGENET_STD
     # Optional NamedSharding applied to the (B, N, D) activations between
@@ -209,16 +214,15 @@ def preprocess(images_u8: jax.Array, cfg: ViTConfig) -> jax.Array:
 
 def _attn_block_fits(cfg: ViTConfig) -> bool:
     """VMEM budget check for the fused attention-half mega-kernel (delegates
-    to the kernel's own head-group slot calculation)."""
-    from ..ops.attn_block import score_slots
+    to the kernel's own tier planner)."""
+    from ..ops.attn_block import attn_plan
     from ..ops.common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
     itemsize = 2 if cfg.dtype == "bfloat16" else 4
     sub = SUBLANE_BF16 if itemsize == 2 else SUBLANE_F32
     n_pad = round_up(cfg.seq_len, sub)
     kv_pad = round_up(cfg.seq_len, LANE)
-    n_sc, _, _ = score_slots(cfg.num_heads, cfg.hidden_dim, n_pad, kv_pad,
-                             itemsize)
-    return n_sc >= 1
+    return attn_plan(cfg.num_heads, cfg.hidden_dim, n_pad, kv_pad,
+                     itemsize).n_sc >= 1
 
 
 def _block(x, blk, cfg: ViTConfig):
@@ -252,13 +256,21 @@ def _block(x, blk, cfg: ViTConfig):
     mlp_impl = cfg.mlp_impl
     n_chunks = 1
     if mlp_impl == "auto":
-        # weight residency: unchunked if w1+w2 fit VMEM; otherwise split
-        # mlp_dim into column chunks (ViT-L/H, CLIP-L) — still fused
+        # auto picks the fused kernel only when w1+w2 fit VMEM unchunked.
+        # The chunked variant wins standalone (0.738 vs 0.772 ms at
+        # ViT-L@384) but LOSES in the full model (43.45 vs 41.26 ms —
+        # its HBM accumulator round-trip fights the neighboring kernels'
+        # pipelining), so big models default to XLA; mlp_impl="pallas"
+        # still selects the chunked kernel explicitly.
         from ..ops.fused_mlp import mlp_weight_chunks
         itemsize = 2 if cfg.dtype == "bfloat16" else 4
         n_chunks = mlp_weight_chunks(cfg.hidden_dim, cfg.mlp_dim, itemsize)
         mlp_impl = ("pallas" if jax.default_backend() == "tpu"
-                    and n_chunks >= 1 else "xla")
+                    and n_chunks == 1 else "xla")
+    elif mlp_impl == "pallas":
+        from ..ops.fused_mlp import mlp_weight_chunks
+        itemsize = 2 if cfg.dtype == "bfloat16" else 4
+        n_chunks = mlp_weight_chunks(cfg.hidden_dim, cfg.mlp_dim, itemsize)
     act_name = cfg.hidden_act
     if act_name == "gelu" and dt == jnp.bfloat16:
         act_name = "gelu_tanh"  # see _hidden_act
@@ -342,7 +354,14 @@ def _forward_features(params: Params, images: jax.Array,
             out = jax.lax.with_sharding_constraint(out, ns)
         return out, None
 
-    x, _ = jax.lax.scan(step, x, params["blocks"])
+    use_scan = (cfg.scan_blocks if cfg.scan_blocks is not None
+                else cfg.remat)
+    if use_scan:
+        x, _ = jax.lax.scan(step, x, params["blocks"])
+    else:
+        for i in range(cfg.depth):
+            blk = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+            x, _ = step(x, blk)
     return _layernorm(x, params["ln_f_scale"], params["ln_f_bias"],
                       cfg.ln_eps)
 

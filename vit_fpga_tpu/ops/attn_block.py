@@ -1,5 +1,5 @@
 """Whole-attention-half mega-kernel: LN -> QKV GEMM -> MHA -> out-proj ->
-residual, fused per image.
+residual, fused over a small group of images per grid cell.
 
 Why: on ViT-B/16 batch 64 the unfused attention half costs ~9.8 ms/step
 (qkv GEMM 2.4, attention 5.5, out-proj 0.9, LN 1.1) while its MXU-bound
@@ -8,22 +8,33 @@ qkv tensor, score matrices, and attention output entirely in VMEM, and
 gives Mosaic one big instruction stream to overlap MXU (projections,
 QK^T, PV) with VPU (LayerNorm, softmax) work across heads.
 
-v2 design (round 2; measured on v5e, experiments/perf_attn_v2.py):
+v2 design decisions (round 2; every line A/B-measured on v5e —
+experiments/perf_attn_v2.py, perf_attn_bigvmem.py, perf_attn_tune2.py):
 
   * Token ROWS (the GEMM M dim) are padded only to the sublane multiple
     (16 for bf16, 8 for f32) instead of the 128 lane width: seq 197 runs
     on 208 rows, not 256 — ~19% of projection FLOPs saved.  Only the
     scores' LANE dim needs 128 alignment, so the kernel keeps a separate
     128-padded K/V panel (``qkv_s`` scratch, tail zeroed) that the score
-    and PV contractions read; a zeroed tail + the column mask keep the
-    math exact.  Measured: 0.705 -> 0.490 ms per layer at ViT-B/16 b64,
-    bit-exact vs v1.
+    and PV contractions read; the zeroed tail + the column mask keep the
+    math exact.  0.705 -> 0.490 ms per layer at ViT-B/16 b64, bit-exact.
   * Softmax stays PHASE-SPLIT (all QK^T of a head group, then all
     softmax+PV): an interleaved "rolling" schedule measured 3x slower —
     Mosaic schedules the straight-line phases better than a hand pipeline.
-  * Head groups: the scores scratch holds ``n_sc <= H`` head slots chosen
-    to fit the VMEM budget, so CLIP ViT-L/14 (16 heads x d=1024, seq 257)
-    fits the fused kernel too instead of falling back to unfused XLA.
+  * MULTI-IMAGE cells: processing 4 images per grid cell (projections on
+    4*208 rows, per-image attention reusing 6 score slots) measured
+    0.525 vs 0.596 ms/layer — fewer cells amortize per-cell overhead and
+    bigger GEMM M dims feed the MXU better.  Needs the VMEM limit raised
+    (see below); used only in the fast tier.
+  * The compiler's 16MB scoped-VMEM limit is a DEFAULT, not the
+    hardware: ``vmem_limit_bytes`` up to ~100MB compiles and runs on
+    v5e.  Raising it when not needed regresses (~6%), so each tier
+    requests only what it needs.
+  * q-slot reuse (each head's attention output overwriting its dead q
+    slot in the panel) causes write-after-read aliasing that serializes
+    Mosaic's schedule (0.49 -> 1.20 ms at ViT-B) — it is strictly the
+    VMEM-tight fallback, where it still wins big (CLIP-L: 1.03 ms vs
+    2.59 unfused XLA).
 
 Weights ride constant-index BlockSpecs, so Mosaic's revolving buffers
 fetch them once for the whole batch sweep.
@@ -37,6 +48,7 @@ program the reference dispatched but never shipped (SURVEY.md §2.2 item 4;
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -52,114 +64,129 @@ def _sublane(dtype) -> int:
     return SUBLANE_BF16 if dtype == jnp.bfloat16 else SUBLANE_F32
 
 
-_BIG_VMEM_BYTES = 100 * 1024 * 1024   # v5e has 128MB physical VMEM
+_BIG_VMEM_BYTES = 100 * 1024 * 1024    # v5e has 128MB physical VMEM
+_MULTI_VMEM_BYTES = 48 * 1024 * 1024   # multi-image fast tier (measured)
 
 
-def score_slots(n_heads: int, d: int, n_pad: int, kv_pad: int,
-                itemsize: int,
-                budget: int = 13 * 1024 * 1024) -> tuple[int, bool, int]:
-    """VMEM plan: (head-group size, reuse_q, vmem_limit_bytes).
+class AttnPlan(NamedTuple):
+    imgs: int          # images per grid cell
+    n_sc: int          # score slots (head-group size); 0 = does not fit
+    reuse_q: bool      # attention out overwrites dead q slots (tight tier)
+    vmem_limit: int    # vmem_limit_bytes override (0 = compiler default)
 
-    Footprint: resident weights (wqkv + wo), qkv K/V panel, in/out token
-    tiles (double-buffered by Mosaic), ``n_sc`` f32 score slots, and —
-    preferred — a separate attention-out scratch.  Three tiers, each
-    measured on v5e:
 
-      fast  — everything fits the compiler's default 16MB scoped VMEM
-              plan (budget 13MB + margin): separate ao scratch, default
-              vmem limit.  ViT-B: 0.534 ms/layer (0.569 with the limit
-              raised — don't raise it when not needed).
-      tight — ao scratch doesn't fit but q-slot reuse does: each head's
-              output overwrites its dead q slot.  The write-after-read
-              panel aliasing costs Mosaic scheduling freedom (0.49 ->
-              1.20 ms at ViT-B if used there) but wins at CLIP-L:
-              1.03 ms vs 2.59 unfused / 1.41 big-vmem.  Capped at 2
-              slots (CLIP-L measured 1.23/1.30/1.47 ms at n_sc=2/4/1).
-      big   — raise vmem_limit_bytes past the 16MB default (the limit is
-              a compiler default, NOT the hardware: 100MB compiles and
-              runs).  Full slots + ao scratch.  Unlocks ViT-L/16@384
-              (seq 577): 0.829 ms/layer fused vs unfused fallback.
+def attn_plan(n_heads: int, d: int, n_pad: int, kv_pad: int,
+              itemsize: int, batch: int = 1,
+              budget: int = 13 * 1024 * 1024) -> AttnPlan:
+    """Choose the VMEM tier (see module docstring) for this geometry.
 
-    Returns (0, _, _) if even the big tier cannot fit: fall back to
-    flash attention / XLA.
+    Tiers, in preference order:
+      multi — 4 (or 2) images/cell, 6 score slots, separate ao scratch,
+              48MB vmem plan.  ViT-B: 0.525 ms/layer.
+      fast  — 1 image/cell, max slots + ao scratch under the default
+              16MB plan.  ViT-B: 0.534-0.596 ms.
+      tight — 1 image/cell, 2 slots, q-slot reuse (~14MB).  CLIP-L:
+              1.03 ms.
+      big   — 1 image/cell, full slots + ao, vmem raised to 100MB.
+              ViT-L@384: 0.829 ms.
     """
     weights = (3 * d * d + d * d) * itemsize
-    panel = kv_pad * 3 * d * itemsize
-    tiles = 4 * n_pad * d * itemsize    # x in + out, double-buffered
-    ao = n_pad * d * itemsize
+
+    def fixed(imgs):
+        panel = imgs * kv_pad * 3 * d * itemsize
+        tiles = 4 * imgs * n_pad * d * itemsize   # in+out, double-buffered
+        ao = imgs * n_pad * d * itemsize
+        return weights + panel + tiles + ao
+
     slot = n_pad * kv_pad * 4
-    fixed = weights + panel + tiles
-    if fixed + ao + slot <= budget:     # fast tier
-        return min(n_heads, (budget - fixed - ao) // slot), False, 0
+    # multi tier: only a clear win for small-d geometries that already
+    # fit the fast tier comfortably (measured at ViT-B; bigger models
+    # fall through to their measured-best tiers)
+    if fixed(1) + n_heads * slot <= budget:
+        for imgs in (4, 2):
+            if batch % imgs == 0 and (fixed(imgs) + 6 * slot
+                                      <= _MULTI_VMEM_BYTES * 0.8):
+                return AttnPlan(imgs, min(n_heads, 6), False,
+                                _MULTI_VMEM_BYTES)
+    if fixed(1) + slot <= budget:       # fast tier
+        return AttnPlan(1, min(n_heads, (budget - fixed(1)) // slot),
+                        False, 0)
+    ao1 = n_pad * d * itemsize
     tight = budget + 1024 * 1024
-    if fixed + slot <= tight:           # tight tier
-        return min(n_heads, 2, (tight - fixed) // slot), True, 0
+    if fixed(1) - ao1 + slot <= tight:  # tight tier: q-slot reuse, no ao
+        return AttnPlan(1, min(n_heads, 2,
+                               (tight - (fixed(1) - ao1)) // slot), True, 0)
     big = int(_BIG_VMEM_BYTES * 0.8)    # leave pipelining headroom
-    if fixed + ao + slot <= big:        # big tier
-        return (min(n_heads, (big - fixed - ao) // slot), False,
-                _BIG_VMEM_BYTES)
-    return 0, True, 0
+    if fixed(1) + slot <= big:          # big tier
+        return AttnPlan(1, min(n_heads, (big - fixed(1)) // slot), False,
+                        _BIG_VMEM_BYTES)
+    return AttnPlan(1, 0, True, 0)
 
 
 def _attn_block_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wo_ref,
                        bo_ref, o_ref, qkv_ref, scores_ref, *maybe_ao,
                        eps: float, scale: float, n_valid: int, n_pad: int,
-                       kv_pad: int, n_heads: int, dh: int, n_sc: int):
+                       kv_pad: int, n_heads: int, dh: int, n_sc: int,
+                       imgs: int):
     ao_ref = maybe_ao[0] if maybe_ao else None
-    x = x_ref[0]                                      # (n_pad, d) model dtype
     d = n_heads * dh
+    x = x_ref[:].reshape(imgs * n_pad, d)
 
-    # LayerNorm (f32 statistics)
+    # LayerNorm (f32 statistics) + QKV projection on all imgs*n_pad rows
+    # (one big MXU GEMM), written into the 128-aligned per-image K/V
+    # panels; zeroed tails keep PV exact (masked scores make P's tail
+    # columns exactly 0, and 0 * 0 = 0 — never 0 * garbage).
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
     xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * ls_ref[0] +
           lb_ref[0]).astype(x.dtype)
-
-    # QKV projection (one big MXU GEMM on n_pad rows, K = d), written into
-    # the 128-aligned K/V panel; zeroed tail keeps PV exact (masked scores
-    # make P's tail columns exactly 0, and 0 * 0 = 0 — never 0 * garbage).
     qkv = (jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
            + bqkv_ref[0]).astype(x.dtype)
-    if kv_pad != n_pad:
-        qkv_ref[:n_pad] = qkv
-        qkv_ref[n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d), x.dtype)
+    for b in range(imgs):
+        if kv_pad != n_pad:
+            qkv_ref[b, :n_pad] = qkv[b * n_pad:(b + 1) * n_pad]
+            qkv_ref[b, n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d),
+                                           x.dtype)
+        else:
+            qkv_ref[b] = qkv[b * n_pad:(b + 1) * n_pad]
+
+    # Attention per image, phase-split in head groups of n_sc: all QK^T
+    # of the group first (MXU), then softmax+PV per head (VPU feeds MXU).
+    for b in range(imgs):
+        for g in range(0, n_heads, n_sc):
+            heads = range(g, min(g + n_sc, n_heads))
+            for h in heads:
+                q = qkv_ref[b, :n_pad, h * dh:(h + 1) * dh]
+                k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
+                scores_ref[h - g] = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+            for h in heads:
+                s = scores_ref[h - g]
+                if n_valid < kv_pad:
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    s = jnp.where(col < n_valid, s, _NEG_INF)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+                v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+                pv = jnp.dot(
+                    p, v, preferred_element_type=jnp.float32).astype(x.dtype)
+                if ao_ref is not None:
+                    ao_ref[b * n_pad:(b + 1) * n_pad,
+                           h * dh:(h + 1) * dh] = pv
+                else:
+                    qkv_ref[b, :n_pad, h * dh:(h + 1) * dh] = pv
+
+    # Output projection + residual (all rows in one GEMM)
+    if ao_ref is not None:
+        src = ao_ref[:]
     else:
-        qkv_ref[:] = qkv
-
-    # Attention, phase-split in head groups of n_sc: all QK^T of the group
-    # first (MXU), then softmax+PV per head (VPU feeds MXU).  Output goes
-    # to the ao scratch when present; in the VMEM-tight tier each head's
-    # output overwrites its own (now dead) q slot in the panel instead.
-    for g in range(0, n_heads, n_sc):
-        heads = range(g, min(g + n_sc, n_heads))
-        for h in heads:
-            q = qkv_ref[:n_pad, h * dh:(h + 1) * dh]
-            k = qkv_ref[:, d + h * dh:d + (h + 1) * dh]
-            scores_ref[h - g] = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-        for h in heads:
-            s = scores_ref[h - g]
-            if n_valid < kv_pad:
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col < n_valid, s, _NEG_INF)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-            v = qkv_ref[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
-            pv = jnp.dot(p, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-            if ao_ref is not None:
-                ao_ref[:, h * dh:(h + 1) * dh] = pv
-            else:
-                qkv_ref[:n_pad, h * dh:(h + 1) * dh] = pv
-
-    # Output projection + residual
-    src = ao_ref[:] if ao_ref is not None else qkv_ref[:n_pad, :d]
+        src = qkv_ref[:, :n_pad, :d].reshape(imgs * n_pad, d)
     y = jnp.dot(src, wo_ref[:],
                 preferred_element_type=jnp.float32) + bo_ref[0]
-    o_ref[0] = x + y.astype(x.dtype)
+    o_ref[:] = (x + y.astype(x.dtype)).reshape(imgs, n_pad, d)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "n_valid",
@@ -178,12 +205,13 @@ def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
     kv_pad = round_up(n, LANE)
     if n_pad != n:
         x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
-    n_sc, reuse_q, vmem_limit = score_slots(num_heads, d, n_pad, kv_pad,
-                                            x.dtype.itemsize)
-    if n_sc < 1:
+    plan = attn_plan(num_heads, d, n_pad, kv_pad, x.dtype.itemsize,
+                     batch=b)
+    if plan.n_sc < 1:
         raise ValueError(
             f"attn_block does not fit VMEM at d={d}, seq={n}; "
             "use flash_attention / the XLA path")
+    imgs, n_sc = plan.imgs, plan.n_sc
 
     const = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
@@ -193,22 +221,23 @@ def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                           scale=1.0 / (dh ** 0.5),
                           n_valid=min(n_valid, n), n_pad=n_pad,
                           kv_pad=kv_pad, n_heads=num_heads, dh=dh,
-                          n_sc=n_sc),
-        grid=(b,),
+                          n_sc=n_sc, imgs=imgs),
+        grid=(b // imgs,),
         in_specs=[
-            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             const((1, d)), const((1, d)),
             const((d, 3 * d)), const((1, 3 * d)),
             const((d, d)), const((1, d)),
         ],
-        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((kv_pad, 3 * d), x.dtype),
+            pltpu.VMEM((imgs, kv_pad, 3 * d), x.dtype),
             pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32),
-        ] + ([] if reuse_q else [pltpu.VMEM((n_pad, d), x.dtype)]),
+        ] + ([] if plan.reuse_q
+             else [pltpu.VMEM((imgs * n_pad, d), x.dtype)]),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_pad * d * (3 * d + d)
             + 4 * b * num_heads * n_pad * kv_pad * dh,
@@ -217,7 +246,8 @@ def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
             transcendentals=b * num_heads * n_pad * kv_pad),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            **({"vmem_limit_bytes": vmem_limit} if vmem_limit else {})),
+            **({"vmem_limit_bytes": plan.vmem_limit}
+               if plan.vmem_limit else {})),
         interpret=interpret,
     )(x, ln_scale.reshape(1, -1).astype(jnp.float32),
       ln_bias.reshape(1, -1).astype(jnp.float32),

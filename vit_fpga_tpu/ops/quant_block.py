@@ -150,23 +150,32 @@ def mlp_block_int8_ref(x, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2,
 # ---------------------------------------------------------------------------
 
 def score_slots_int8(n_heads: int, d: int, n_pad: int, kv_pad: int,
-                     budget: int = 13 * 1024 * 1024) -> int:
-    """VMEM head-group size for the int8 attention kernel (weights int8,
-    activations bf16)."""
+                     budget: int = 13 * 1024 * 1024) -> tuple[int, bool]:
+    """VMEM plan (head-group size, reuse_q) for the int8 attention kernel
+    (weights int8, activations bf16).  Same tiering rationale as the bf16
+    kernel (ops/attn_block.score_slots): a separate attention-out scratch
+    is strictly faster; q-slot reuse is the VMEM-tight fallback.  Int8
+    weights are half the bf16 footprint, so most geometries land in the
+    fast tier."""
     weights = 3 * d * d + d * d                  # int8
     panel = kv_pad * 3 * d * 2                   # bf16
     tiles = 4 * n_pad * d * 2
+    ao = n_pad * d * 2
     fixed = weights + panel + tiles
     slot = n_pad * kv_pad * 4
-    if fixed + slot > budget:
-        return 0
-    return min(n_heads, (budget - fixed) // slot)
+    if fixed + ao + slot <= budget:
+        return min(n_heads, (budget - fixed - ao) // slot), False
+    if fixed + slot <= budget + 1024 * 1024:
+        return min(n_heads, 2, (budget + 1024 * 1024 - fixed) // slot), True
+    return 0, True
 
 
 def _attn_int8_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-                      wo_ref, so_ref, bo_ref, o_ref, qkv_ref, scores_ref, *,
-                      eps: float, scale: float, n_valid: int, n_pad: int,
-                      kv_pad: int, n_heads: int, dh: int, n_sc: int):
+                      wo_ref, so_ref, bo_ref, o_ref, qkv_ref, scores_ref,
+                      *maybe_ao, eps: float, scale: float, n_valid: int,
+                      n_pad: int, kv_pad: int, n_heads: int, dh: int,
+                      n_sc: int):
+    ao_ref = maybe_ao[0] if maybe_ao else None
     x = x_ref[0]
     d = n_heads * dh
 
@@ -199,10 +208,15 @@ def _attn_int8_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
             e = jnp.exp(s - m)
             p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
             v = qkv_ref[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
-            qkv_ref[:n_pad, h * dh:(h + 1) * dh] = jnp.dot(
-                p, v, preferred_element_type=jnp.float32).astype(x.dtype)
+            pv = jnp.dot(p, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+            if ao_ref is not None:
+                ao_ref[:, h * dh:(h + 1) * dh] = pv
+            else:
+                qkv_ref[:n_pad, h * dh:(h + 1) * dh] = pv
 
-    aoq, sa = _row_quant(qkv_ref[:n_pad, :d].astype(jnp.float32))
+    src = ao_ref[:] if ao_ref is not None else qkv_ref[:n_pad, :d]
+    aoq, sa = _row_quant(src.astype(jnp.float32))
     acc_o = jax.lax.dot_general(aoq, wo_ref[:], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
     y = acc_o.astype(jnp.float32) * (sa * so_ref[0]) + bo_ref[0]
@@ -224,7 +238,7 @@ def attn_block_int8(x, ln_scale, ln_bias, wqkvq, wqkvs, bqkv, woq, wos, bo,
     kv_pad = round_up(n, LANE)
     if n_pad != n:
         x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
-    n_sc = score_slots_int8(num_heads, d, n_pad, kv_pad)
+    n_sc, reuse_q = score_slots_int8(num_heads, d, n_pad, kv_pad)
     if n_sc < 1:
         raise ValueError(f"attn_block_int8 does not fit VMEM at d={d}, "
                          f"seq={n}")
@@ -251,7 +265,7 @@ def attn_block_int8(x, ln_scale, ln_bias, wqkvq, wqkvs, bqkv, woq, wos, bo,
         scratch_shapes=[
             pltpu.VMEM((kv_pad, 3 * d), x.dtype),
             pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32),
-        ],
+        ] + ([] if reuse_q else [pltpu.VMEM((n_pad, d), x.dtype)]),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_pad * d * (3 * d + d)
             + 4 * b * num_heads * n_pad * kv_pad * dh,

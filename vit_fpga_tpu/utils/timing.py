@@ -152,7 +152,14 @@ def time_device_loop(fn: Callable, args: tuple, n_lo: int = 4,
         return min(ts)
 
     t_lo, t_hi = best(lo), best(hi)
-    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+    slope = (t_hi - t_lo) / (n_hi - n_lo)
+    # Contention guard: if another job inflates the SHORT run, the slope
+    # collapses and over-reports throughput (observed: an "above int8
+    # roofline" reading).  The single-loop estimate (long run minus the
+    # cached scalar-fetch roundtrip) is immune to that failure mode;
+    # take the slower (conservative) of the two.
+    single = (t_hi - _roundtrip_s()) / n_hi
+    return max(slope, single, 1e-9)
 
 
 def summarize(name: str, t: Timing, work_per_call: float | None = None,
