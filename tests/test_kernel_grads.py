@@ -62,3 +62,29 @@ def test_attn_block_grad_matches_xla(monkeypatch):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_fused_mlp_native_bwd_matches_vjp():
+    """The native backward kernel (in-kernel remat, VMEM grad accum)
+    matches jax.vjp of the XLA reference on every cotangent."""
+    from vit_fpga_tpu.ops.fused_mlp import (fused_mlp_bwd_pallas,
+                                            fused_mlp_xla)
+    rng = np.random.default_rng(5)
+    t, d, m_ = 70, 64, 128
+    x = _rand(rng, t, d, s=1.0)
+    s = _rand(rng, d, s=0.1) + 1.0
+    b = _rand(rng, d, s=0.1)
+    w1 = _rand(rng, d, m_)
+    b1 = _rand(rng, m_, s=0.1)
+    w2 = _rand(rng, m_, d)
+    b2 = _rand(rng, d, s=0.1)
+    g = _rand(rng, t, d, s=1.0)
+    for act in ("gelu_tanh", "quick_gelu", "relu"):
+        _, vjp = jax.vjp(lambda *a: fused_mlp_xla(*a, act=act),
+                         x, s, b, w1, b1, w2, b2)
+        ref = vjp(g)
+        got = fused_mlp_bwd_pallas(x, s, b, w1, b1, w2, g, act=act,
+                                   block_t=32, interpret=True)
+        for r, o in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=2e-4, atol=2e-5)

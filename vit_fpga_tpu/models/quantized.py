@@ -229,8 +229,8 @@ def _int8_block_fits(cfg: vit_mod.ViTConfig) -> bool:
     from ..ops.quant_block import score_slots_int8
     n_pad = round_up(cfg.seq_len, SUBLANE_BF16)
     kv_pad = round_up(cfg.seq_len, LANE)
-    n_sc, _ = score_slots_int8(cfg.num_heads, cfg.hidden_dim,
-                               n_pad, kv_pad)
+    _, n_sc, _, _ = score_slots_int8(cfg.num_heads, cfg.hidden_dim,
+                                     n_pad, kv_pad)
     attn_ok = n_sc >= 1
     mlp_ok = 2 * cfg.hidden_dim * cfg.mlp_dim <= 11 * 1024 * 1024
     return attn_ok and mlp_ok

@@ -34,6 +34,8 @@ def _act(h, kind: str):
         return jax.nn.gelu(h, approximate=True)
     if kind == "quick_gelu":
         return h * jax.nn.sigmoid(1.702 * h)
+    if kind == "relu":
+        return jnp.maximum(h, 0.0)
     raise ValueError(kind)
 
 
@@ -217,6 +219,15 @@ def _fused_mlp_fwd(x, s, b, w1, b1, w2, b2, eps, act):
 
 
 def _fused_mlp_bwd(eps, act, res, g):
+    x, s, b, w1, b1, w2, b2 = res
+    if jax.default_backend() == "tpu" and act in ("gelu_tanh",
+                                                  "quick_gelu", "relu"):
+        # native fused backward kernel (in-kernel remat, VMEM grad accum)
+        dx, dls, dlb, dw1, db1, dw2, db2 = fused_mlp_bwd_pallas(
+            x, s, b, w1, b1, w2, g, eps=eps, act=act)
+        grads = (dx, dls, dlb, dw1, db1, dw2, db2)
+        # cotangent dtypes must match the primals'
+        return tuple(gr.astype(p.dtype) for gr, p in zip(grads, res))
     _, vjp = jax.vjp(
         lambda *a: fused_mlp_xla(*a, eps=eps, act=act), *res)
     return vjp(g)
@@ -247,6 +258,143 @@ def _fused_mlp_chunked_bwd(eps, act, n_chunks, res, g):
 
 
 fused_mlp_chunked.defvjp(_fused_mlp_chunked_fwd, _fused_mlp_chunked_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Native backward kernel (round 2): one fused pass computes dx and
+# accumulates dW1/dW2/db1/db2/dls/dlb across token tiles in VMEM scratch.
+# Replaces the XLA-recompute VJP on TPU: the forward intermediates (xn, h,
+# a) are recomputed INSIDE the kernel per tile — remat without the HBM
+# round-trips XLA's unfused gradient graph pays for the (T, M) tensors.
+# ---------------------------------------------------------------------------
+
+
+def _act_and_grad(h, kind: str):
+    """act(h), act'(h) — closed forms (Mosaic has no erf; tanh-GELU)."""
+    if kind == "gelu_tanh":
+        c = 0.7978845608028654          # sqrt(2/pi)
+        u = c * (h + 0.044715 * h * h * h)
+        t = jnp.tanh(u)
+        a = 0.5 * h * (1.0 + t)
+        da = (0.5 * (1.0 + t)
+              + 0.5 * h * (1.0 - t * t) * c * (1.0 + 3 * 0.044715 * h * h))
+        return a, da
+    if kind == "quick_gelu":
+        s = jax.nn.sigmoid(1.702 * h)
+        return h * s, s * (1.0 + 1.702 * h * (1.0 - s))
+    if kind == "relu":
+        return jnp.maximum(h, 0.0), (h > 0).astype(h.dtype)
+    raise ValueError(kind)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
+                                             "interpret"))
+def fused_mlp_bwd_pallas(x, ln_scale, ln_bias, w1, b1, w2, g,
+                         eps: float = 1e-6, act: str = "gelu_tanh",
+                         block_t: int = 256, interpret: bool = False):
+    """Backward of fused_mlp: returns (dx, dls, dlb, dw1, db1, dw2, db2).
+
+    ``g`` is the output cotangent (T, D).  Weight grads are f32,
+    accumulated in VMEM scratch across token tiles (grid runs
+    "arbitrary" so the constant-index grad outputs stay resident until
+    the last tile).  Forward intermediates are recomputed per tile
+    in-kernel — remat without XLA's (T, M) HBM round-trips.
+    """
+    t, d = x.shape
+    m = w1.shape[1]
+    tp = round_up(t, block_t)
+    if tp != t:
+        x = jnp.pad(x, ((0, tp - t), (0, 0)))
+        g = jnp.pad(g, ((0, tp - t), (0, 0)))
+
+    tile = pl.BlockSpec((block_t, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_mlp_bwd_with_b1_kernel, eps=eps, act=act,
+                          n_tiles=tp // block_t),
+        grid=(tp // block_t,),
+        in_specs=[tile, tile, const((1, d)), const((1, d)),
+                  const((d, m)), const((1, m)), const((m, d))],
+        out_specs=[tile, const((d, m)), const((1, m)), const((m, d)),
+                   const((1, d)), const((1, d)), const((1, d))],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, d), x.dtype),
+            jax.ShapeDtypeStruct((d, m), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, g, ln_scale.reshape(1, -1).astype(jnp.float32),
+      ln_bias.reshape(1, -1).astype(jnp.float32),
+      w1.astype(x.dtype), b1.reshape(1, -1).astype(jnp.float32),
+      w2.astype(x.dtype))
+    dx, dw1, db1, dw2, db2, dls, dlb = outs
+    return (dx[:t], dls.reshape(-1), dlb.reshape(-1), dw1,
+            db1.reshape(-1), dw2, db2.reshape(-1))
+
+
+def _mlp_bwd_with_b1_kernel(x_ref, g_ref, s_ref, b_ref, w1_ref, b1_ref,
+                            w2_ref, dx_ref, dw1_ref, db1_ref, dw2_ref,
+                            db2_ref, dls_ref, dlb_ref, *, eps: float,
+                            act: str, n_tiles: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dls_ref[:] = jnp.zeros_like(dls_ref)
+        dlb_ref[:] = jnp.zeros_like(dlb_ref)
+
+    x = x_ref[:]
+    g = g_ref[:].astype(jnp.float32)
+
+    # recompute forward intermediates (in-kernel remat)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rstd
+    xn = (xhat * s_ref[0] + b_ref[0]).astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[:],
+                preferred_element_type=jnp.float32) + b1_ref[0]
+    a, dact = _act_and_grad(h, act)
+    a = a.astype(x.dtype)
+
+    gc = g.astype(x.dtype)
+    da = jax.lax.dot_general(gc, w2_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh = da * dact
+    dhc = dh.astype(x.dtype)
+    dxn = jax.lax.dot_general(dhc, w1_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    dw1_ref[:] += jax.lax.dot_general(xn, dhc, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    db1_ref[:] += jnp.sum(dh, axis=0, keepdims=True)
+    dw2_ref[:] += jax.lax.dot_general(a, gc, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    db2_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+
+    dls_ref[:] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dlb_ref[:] += jnp.sum(dxn, axis=0, keepdims=True)
+    dxhat = dxn * s_ref[0]
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ln = (dxhat - m1 - xhat * m2) * rstd
+
+    dx_ref[:] = (g + dx_ln).astype(dx_ref.dtype)
 
 
 def fused_mlp_xla(x, ln_scale, ln_bias, w1, b1, w2, b2,

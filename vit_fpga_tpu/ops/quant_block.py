@@ -150,34 +150,45 @@ def mlp_block_int8_ref(x, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2,
 # ---------------------------------------------------------------------------
 
 def score_slots_int8(n_heads: int, d: int, n_pad: int, kv_pad: int,
-                     budget: int = 13 * 1024 * 1024) -> tuple[int, bool]:
-    """VMEM plan (head-group size, reuse_q) for the int8 attention kernel
-    (weights int8, activations bf16).  Same tiering rationale as the bf16
-    kernel (ops/attn_block.score_slots): a separate attention-out scratch
-    is strictly faster; q-slot reuse is the VMEM-tight fallback.  Int8
-    weights are half the bf16 footprint, so most geometries land in the
-    fast tier."""
+                     budget: int = 13 * 1024 * 1024,
+                     batch: int = 1) -> tuple[int, int, bool, int]:
+    """VMEM plan (imgs, head-group size, reuse_q, vmem_limit) for the int8
+    attention kernel (weights int8, activations bf16).  Same tiering
+    rationale as the bf16 kernel (ops/attn_block.attn_plan): multi-image
+    cells amortize per-cell overhead, a separate attention-out scratch is
+    strictly faster than q-slot reuse, which is the VMEM-tight fallback.
+    Int8 weights are half the bf16 footprint, so most geometries land in
+    the fast tiers."""
     weights = 3 * d * d + d * d                  # int8
-    panel = kv_pad * 3 * d * 2                   # bf16
-    tiles = 4 * n_pad * d * 2
-    ao = n_pad * d * 2
-    fixed = weights + panel + tiles
+
+    def fixed(imgs):
+        return (weights + imgs * kv_pad * 3 * d * 2
+                + 4 * imgs * n_pad * d * 2 + imgs * n_pad * d * 2)
+
     slot = n_pad * kv_pad * 4
-    if fixed + ao + slot <= budget:
-        return min(n_heads, (budget - fixed - ao) // slot), False
-    if fixed + slot <= budget + 1024 * 1024:
-        return min(n_heads, 2, (budget + 1024 * 1024 - fixed) // slot), True
-    return 0, True
+    if fixed(1) + n_heads * slot <= budget:
+        for imgs in (4, 2):
+            if batch % imgs == 0 and (fixed(imgs) + 6 * slot
+                                      <= int(48 * 1024 * 1024 * 0.8)):
+                return imgs, min(n_heads, 6), False, 48 * 1024 * 1024
+    if fixed(1) + slot <= budget:
+        return 1, min(n_heads, (budget - fixed(1)) // slot), False, 0
+    ao1 = n_pad * d * 2
+    tight = budget + 1024 * 1024
+    if fixed(1) - ao1 + slot <= tight:
+        return (1, min(n_heads, 2, (tight - (fixed(1) - ao1)) // slot),
+                True, 0)
+    return 1, 0, True, 0
 
 
 def _attn_int8_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                       wo_ref, so_ref, bo_ref, o_ref, qkv_ref, scores_ref,
                       *maybe_ao, eps: float, scale: float, n_valid: int,
                       n_pad: int, kv_pad: int, n_heads: int, dh: int,
-                      n_sc: int):
+                      n_sc: int, imgs: int):
     ao_ref = maybe_ao[0] if maybe_ao else None
-    x = x_ref[0]
     d = n_heads * dh
+    x = x_ref[:].reshape(imgs * n_pad, d)
 
     xn = _ln_f32(x, ls_ref, lb_ref, eps)
     xq, sx = _row_quant(xn)
@@ -185,42 +196,50 @@ def _attn_int8_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                               preferred_element_type=jnp.int32)
     qkv = (acc.astype(jnp.float32) * (sx * sqkv_ref[0])
            + bqkv_ref[0]).astype(x.dtype)
-    if kv_pad != n_pad:
-        qkv_ref[:n_pad] = qkv
-        qkv_ref[n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d), x.dtype)
+    for b in range(imgs):
+        if kv_pad != n_pad:
+            qkv_ref[b, :n_pad] = qkv[b * n_pad:(b + 1) * n_pad]
+            qkv_ref[b, n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d),
+                                           x.dtype)
+        else:
+            qkv_ref[b] = qkv[b * n_pad:(b + 1) * n_pad]
+
+    for b in range(imgs):
+        for g in range(0, n_heads, n_sc):
+            heads = range(g, min(g + n_sc, n_heads))
+            for h in heads:
+                q = qkv_ref[b, :n_pad, h * dh:(h + 1) * dh]
+                k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
+                scores_ref[h - g] = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+            for h in heads:
+                s = scores_ref[h - g]
+                if n_valid < kv_pad:
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    s = jnp.where(col < n_valid, s, _NEG_INF)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                p = (e / jnp.sum(e, axis=-1,
+                                 keepdims=True)).astype(x.dtype)
+                v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+                pv = jnp.dot(
+                    p, v, preferred_element_type=jnp.float32).astype(x.dtype)
+                if ao_ref is not None:
+                    ao_ref[b * n_pad:(b + 1) * n_pad,
+                           h * dh:(h + 1) * dh] = pv
+                else:
+                    qkv_ref[b, :n_pad, h * dh:(h + 1) * dh] = pv
+
+    if ao_ref is not None:
+        src = ao_ref[:]
     else:
-        qkv_ref[:] = qkv
-
-    for g in range(0, n_heads, n_sc):
-        heads = range(g, min(g + n_sc, n_heads))
-        for h in heads:
-            q = qkv_ref[:n_pad, h * dh:(h + 1) * dh]
-            k = qkv_ref[:, d + h * dh:d + (h + 1) * dh]
-            scores_ref[h - g] = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-        for h in heads:
-            s = scores_ref[h - g]
-            if n_valid < kv_pad:
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col < n_valid, s, _NEG_INF)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-            v = qkv_ref[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
-            pv = jnp.dot(p, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-            if ao_ref is not None:
-                ao_ref[:, h * dh:(h + 1) * dh] = pv
-            else:
-                qkv_ref[:n_pad, h * dh:(h + 1) * dh] = pv
-
-    src = ao_ref[:] if ao_ref is not None else qkv_ref[:n_pad, :d]
+        src = qkv_ref[:, :n_pad, :d].reshape(imgs * n_pad, d)
     aoq, sa = _row_quant(src.astype(jnp.float32))
     acc_o = jax.lax.dot_general(aoq, wo_ref[:], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
     y = acc_o.astype(jnp.float32) * (sa * so_ref[0]) + bo_ref[0]
-    o_ref[0] = x + y.astype(x.dtype)
+    o_ref[:] = (x + y.astype(x.dtype)).reshape(imgs, n_pad, d)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "n_valid",
@@ -238,7 +257,8 @@ def attn_block_int8(x, ln_scale, ln_bias, wqkvq, wqkvs, bqkv, woq, wos, bo,
     kv_pad = round_up(n, LANE)
     if n_pad != n:
         x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
-    n_sc, reuse_q = score_slots_int8(num_heads, d, n_pad, kv_pad)
+    imgs, n_sc, reuse_q, vmem_limit = score_slots_int8(
+        num_heads, d, n_pad, kv_pad, batch=b)
     if n_sc < 1:
         raise ValueError(f"attn_block_int8 does not fit VMEM at d={d}, "
                          f"seq={n}")
@@ -250,22 +270,23 @@ def attn_block_int8(x, ln_scale, ln_bias, wqkvq, wqkvs, bqkv, woq, wos, bo,
         functools.partial(_attn_int8_kernel, eps=eps,
                           scale=1.0 / (dh ** 0.5), n_valid=min(n_valid, n),
                           n_pad=n_pad, kv_pad=kv_pad, n_heads=num_heads,
-                          dh=dh, n_sc=n_sc),
-        grid=(b,),
+                          dh=dh, n_sc=n_sc, imgs=imgs),
+        grid=(b // imgs,),
         in_specs=[
-            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             const((1, d)), const((1, d)),
             const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
             const((d, d)), const((1, d)), const((1, d)),
         ],
-        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((kv_pad, 3 * d), x.dtype),
+            pltpu.VMEM((imgs, kv_pad, 3 * d), x.dtype),
             pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32),
-        ] + ([] if reuse_q else [pltpu.VMEM((n_pad, d), x.dtype)]),
+        ] + ([] if reuse_q
+             else [pltpu.VMEM((imgs * n_pad, d), x.dtype)]),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_pad * d * (3 * d + d)
             + 4 * b * num_heads * n_pad * kv_pad * dh,
@@ -273,7 +294,8 @@ def attn_block_int8(x, ln_scale, ln_bias, wqkvq, wqkvs, bqkv, woq, wos, bo,
             + 4 * d * d,
             transcendentals=b * num_heads * n_pad * kv_pad),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            **({"vmem_limit_bytes": vmem_limit} if vmem_limit else {})),
         interpret=interpret,
     )(x, ln_scale.reshape(1, -1).astype(jnp.float32),
       ln_bias.reshape(1, -1).astype(jnp.float32),
