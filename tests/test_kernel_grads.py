@@ -88,3 +88,28 @@ def test_fused_mlp_native_bwd_matches_vjp():
         for r, o in zip(ref, got):
             np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                        rtol=2e-4, atol=2e-5)
+
+
+def test_attn_block_native_bwd_matches_vjp():
+    """Native attention-half backward matches jax.vjp of the XLA
+    reference on every cotangent (incl. the qkv bias, which shifts the
+    scores and must be in the in-kernel recompute)."""
+    from vit_fpga_tpu.ops import attn_block as ab
+    rng = np.random.default_rng(6)
+    B, N, D, H = 2, 13, 32, 4
+    x = _rand(rng, B, N, D, s=0.3)
+    ls = _rand(rng, D, s=0.1) + 1.0
+    lb = _rand(rng, D, s=0.1)
+    wq = _rand(rng, D, 3 * D, s=0.2)
+    bq = _rand(rng, 3 * D, s=0.2)
+    wo = _rand(rng, D, D, s=0.2)
+    bo = _rand(rng, D, s=0.2)
+    g = _rand(rng, B, N, D, s=0.3)
+    _, vjp = jax.vjp(lambda *a: ab.attn_block_xla(*a, num_heads=H),
+                     x, ls, lb, wq, bq, wo, bo)
+    ref = vjp(g)
+    got = ab.attn_block_bwd_pallas(x, ls, lb, wq, bq, wo, g, H,
+                                   interpret=True)
+    for r, o in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=3e-4, atol=3e-5)

@@ -209,3 +209,46 @@ def test_pjrt_native_client_on_hw(tmp_path):
                          capture_output=True, text=True, timeout=600)
     assert run.returncode == 0, run.stderr[-2000:]
     assert "PJRT NATIVE DEMO OK" in run.stdout
+
+
+def test_native_backward_kernels_on_hw():
+    """The native MLP and attention backward kernels compile and match
+    jax.vjp of the XLA references on device (bf16-tolerance)."""
+    import jax.numpy as jnp
+    from vit_fpga_tpu.ops import attn_block as ab
+    from vit_fpga_tpu.ops.fused_mlp import (fused_mlp_bwd_pallas,
+                                            fused_mlp_xla)
+    rng = np.random.default_rng(10)
+    B, N, D, H, M = 2, 197, 768, 12, 3072
+    f32 = lambda *s, sc=0.1: jnp.asarray(rng.normal(size=s) * sc,
+                                         jnp.float32)
+    bf = lambda *s, sc=0.1: jnp.asarray(rng.normal(size=s) * sc,
+                                        jnp.bfloat16)
+    x = bf(B, N, D, sc=0.5)
+    ls = f32(D) + 1.0; lb = f32(D)
+    wq = bf(D, 3 * D); bq = f32(3 * D); wo = bf(D, D)
+    g = bf(B, N, D, sc=0.5)
+    _, vjp = jax.vjp(
+        lambda *a: ab.attn_block_xla(*a, jnp.zeros((D,), jnp.float32),
+                                     num_heads=H),
+        x, ls, lb, wq, bq, wo)
+    ref = vjp(g)
+    got = ab.attn_block_bwd_pallas(x, ls, lb, wq, bq, wo, g, H)
+    for r, o in zip(ref, got[:6]):
+        r = np.asarray(r, np.float32); o = np.asarray(o, np.float32)
+        scale = np.abs(r).max() + 1e-6
+        assert np.abs(o - r).max() / scale < 0.05
+
+    x2 = bf(B * N, D, sc=0.5)
+    w1 = bf(D, M); b1 = f32(M); w2 = bf(M, D); b2 = f32(D)
+    g2 = bf(B * N, D, sc=0.5)
+    _, vjp2 = jax.vjp(
+        lambda *a: fused_mlp_xla(*a, act="gelu_tanh"),
+        x2, ls, lb, w1, b1, w2, b2)
+    ref2 = vjp2(g2)
+    got2 = fused_mlp_bwd_pallas(x2, ls, lb, w1, b1, w2, g2,
+                                act="gelu_tanh")
+    for r, o in zip(ref2, got2):
+        r = np.asarray(r, np.float32); o = np.asarray(o, np.float32)
+        scale = np.abs(r).max() + 1e-6
+        assert np.abs(o - r).max() / scale < 0.05

@@ -272,12 +272,205 @@ def _attn_block_fwd(x, ls, lb, wqkv, bqkv, wo, bo, num_heads, eps):
 
 
 def _attn_block_bwd(num_heads, eps, res, g):
+    x, ls, lb, wqkv, bqkv, wo, bo = res
+    d = x.shape[-1]
+    n_pad = round_up(x.shape[1], _sublane(x.dtype))
+    kv_pad = round_up(x.shape[1], LANE)
+    fits = _bwd_fits(num_heads, d, n_pad, kv_pad, x.dtype.itemsize)
+    if jax.default_backend() == "tpu" and fits:
+        dx, dls, dlb, dwqkv, dbqkv, dwo, dbo = attn_block_bwd_pallas(
+            x, ls, lb, wqkv, bqkv, wo, g, num_heads, eps=eps)
+        grads = (dx, dls, dlb, dwqkv, dbqkv, dwo, dbo)
+        return tuple(gr.astype(p.dtype) for gr, p in zip(grads, res))
     _, vjp = jax.vjp(
         lambda *a: attn_block_xla(*a, num_heads=num_heads, eps=eps), *res)
     return vjp(g)
 
 
 attn_block.defvjp(_attn_block_fwd, _attn_block_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Native backward kernel (round 2): recomputes the forward per image
+# in-kernel (LN, qkv panel, per-head softmax) and chains the gradients —
+# dP -> dS -> dq/dk/dv -> dxn -> LN backward — with dWqkv/dWo/biases
+# accumulated in VMEM f32 scratch across the batch sweep.  Replaces the
+# XLA-recompute VJP, whose unfused recompute+backward dominated training
+# step time.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_fits(n_heads: int, d: int, n_pad: int, kv_pad: int,
+              itemsize: int) -> bool:
+    """The backward keeps both weight mats + their f32 grads resident."""
+    resident = (4 * d * d * itemsize          # wqkv + wo
+                + 4 * d * d * 4               # dwqkv + dwo (f32)
+                + 2 * kv_pad * 3 * d * itemsize   # qkv + dqkv panels
+                + 6 * n_pad * d * itemsize)   # x/g/dx tiles + ao
+    return resident + 2 * n_pad * kv_pad * 4 <= 64 * 1024 * 1024
+
+
+def _attn_bwd_kernel(x_ref, g_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
+                     wo_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref,
+                     dbo_ref, dls_ref, dlb_ref, qkv_ref, dqkv_ref, ao_ref,
+                     *, eps: float, scale: float, n_valid: int,
+                     n_pad: int, kv_pad: int, n_heads: int, dh: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+        dls_ref[:] = jnp.zeros_like(dls_ref)
+        dlb_ref[:] = jnp.zeros_like(dlb_ref)
+
+    d = n_heads * dh
+    x = x_ref[0]
+    g = g_ref[0]
+
+    # ---- recompute forward intermediates (in-kernel remat) ----
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rstd
+    xn = (xhat * ls_ref[0] + lb_ref[0]).astype(x.dtype)
+    # bqkv shifts q/k/v and therefore the scores (q_i·δk does not cancel
+    # in softmax) — the recompute must match the forward exactly.
+    qkv = (jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+           + bqkv_ref[0])
+    qkv_ref[:n_pad] = qkv.astype(x.dtype)
+    if kv_pad != n_pad:
+        qkv_ref[n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d), x.dtype)
+
+    # dao for all heads at once: attention-out cotangent through Wo
+    gw = jax.lax.dot_general(g, wo_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (n, d)
+    gwc = gw.astype(x.dtype)
+
+    for h in range(n_heads):
+        q = qkv_ref[:n_pad, h * dh:(h + 1) * dh]
+        k = qkv_ref[:, d + h * dh:d + (h + 1) * dh]
+        v = qkv_ref[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if n_valid < kv_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)      # (n_pad, kv) f32
+        pc = p.astype(x.dtype)
+
+        gw_h = gwc[:, h * dh:(h + 1) * dh]              # (n_pad, dh)
+        # ao for dWo accumulation
+        ao_ref[:, h * dh:(h + 1) * dh] = jnp.dot(
+            pc, v, preferred_element_type=jnp.float32).astype(x.dtype)
+        # dv = p^T @ dao
+        dv = jax.lax.dot_general(pc, gw_h, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # dP = dao @ v^T
+        dp = jax.lax.dot_general(gw_h, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # softmax backward: dS = p * (dP - rowsum(dP * p)), then * scale
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+              * scale).astype(x.dtype)
+        # dq = dS @ k ; dk = dS^T @ q
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dqkv_ref[:n_pad, h * dh:(h + 1) * dh] = dq.astype(x.dtype)
+        dqkv_ref[:, d + h * dh:d + (h + 1) * dh] = dk.astype(x.dtype)
+        dqkv_ref[:, 2 * d + h * dh:2 * d + (h + 1) * dh] = dv.astype(
+            x.dtype)
+
+    # out-projection grads
+    dwo_ref[:] += jax.lax.dot_general(ao_ref[:], g,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dbo_ref[:] += jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    # qkv-projection grads + dxn
+    dqkv = dqkv_ref[:n_pad]
+    dwqkv_ref[:] += jax.lax.dot_general(xn, dqkv, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    dbqkv_ref[:] += jnp.sum(dqkv.astype(jnp.float32), axis=0,
+                            keepdims=True)
+    dxn = jax.lax.dot_general(dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    # LayerNorm backward + residual
+    dls_ref[:] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dlb_ref[:] += jnp.sum(dxn, axis=0, keepdims=True)
+    dxhat = dxn * ls_ref[0]
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ln = (dxhat - m1 - xhat * m2) * rstd
+    dx_ref[0] = (g.astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "n_valid",
+                                             "interpret"))
+def attn_block_bwd_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, g,
+                          num_heads: int, eps: float = 1e-6,
+                          n_valid: int | None = None,
+                          interpret: bool = False):
+    """Backward of the attention half: returns
+    (dx, dls, dlb, dwqkv, dbqkv, dwo, dbo).  ``g`` is the output
+    cotangent (B, N, D); weight grads are f32."""
+    b, n, d = x.shape
+    dh = d // num_heads
+    if n_valid is None:
+        n_valid = n
+    n_pad = round_up(n, _sublane(x.dtype))
+    kv_pad = round_up(n, LANE)
+    if n_pad != n:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+        g = jnp.pad(g, [(0, 0), (0, n_pad - n), (0, 0)])
+
+    tile = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, eps=eps,
+                          scale=1.0 / (dh ** 0.5),
+                          n_valid=min(n_valid, n), n_pad=n_pad,
+                          kv_pad=kv_pad, n_heads=num_heads, dh=dh),
+        grid=(b,),
+        in_specs=[tile, tile, const((1, d)), const((1, d)),
+                  const((d, 3 * d)), const((1, 3 * d)), const((d, d))],
+        out_specs=[tile, const((d, 3 * d)), const((1, 3 * d)),
+                   const((d, d)), const((1, d)), const((1, d)),
+                   const((1, d))],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((d, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct((d, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kv_pad, 3 * d), x.dtype),
+            pltpu.VMEM((kv_pad, 3 * d), x.dtype),
+            pltpu.VMEM((n_pad, d), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, g, ln_scale.reshape(1, -1).astype(jnp.float32),
+      ln_bias.reshape(1, -1).astype(jnp.float32),
+      wqkv.astype(x.dtype), bqkv.reshape(1, -1).astype(jnp.float32),
+      wo.astype(x.dtype))
+    dx, dwqkv, dbqkv, dwo, dbo, dls, dlb = outs
+    return (dx[:, :n, :], dls.reshape(-1), dlb.reshape(-1), dwqkv,
+            dbqkv.reshape(-1), dwo, dbo.reshape(-1))
 
 
 def attn_block_xla(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
