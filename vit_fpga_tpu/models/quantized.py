@@ -290,10 +290,11 @@ def vit_forward_int8_fast(qparams: Params, images: jax.Array,
             blk = jax.tree_util.tree_map(lambda a: a[i],
                                          qparams["blocks"])
             x, _ = step(x, blk)
-    x = vit_mod._layernorm(x, qparams["ln_f_scale"], qparams["ln_f_bias"],
-                           cfg.ln_eps)
+    # LayerNorm is per-token: only the CLS row feeds the head
+    cls_t = vit_mod._layernorm(x[:, :1], qparams["ln_f_scale"],
+                               qparams["ln_f_bias"], cfg.ln_eps)
     if "head" not in qparams:   # headless import (HF ViTModel): features out
-        return x[:, 0].astype(jnp.float32)
+        return cls_t[:, 0].astype(jnp.float32)
     hd = qparams["head"]
-    return _fused_lin(x[:, :1], hd["wq"], hd["ws"], hd["b"])[:, 0].astype(
+    return _fused_lin(cls_t, hd["wq"], hd["ws"], hd["b"])[:, 0].astype(
         jnp.float32)
