@@ -181,3 +181,176 @@ def from_hf_clip_model(model) -> Params:
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
     cfg = getattr(model.config, "vision_config", model.config)
     return from_hf_clip_state_dict(sd, depth=cfg.num_hidden_layers)
+
+
+# ---------------------------------------------------------------------------
+# Text tower — completes the CLIP pair (the reference is vision-only; this
+# is net-new capability so image-text similarity/contrastive training work
+# end to end).  Sequences are tiny (max 77 tokens), so the blocks run as
+# plain XLA with a causal mask; the MXU-critical path remains the vision
+# tower.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_dim: int = 512
+    depth: int = 12
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    max_positions: int = 77
+    ln_eps: float = 1e-5
+    projection_dim: int = 768
+
+
+def init_text_params(key: jax.Array, cfg: CLIPTextConfig) -> Params:
+    d, l, m = cfg.hidden_dim, cfg.depth, cfg.mlp_dim
+    ks = jax.random.split(key, 8)
+
+    def tn(k, shape, std=0.02):
+        return (std * jax.random.truncated_normal(
+            k, -2.0, 2.0, shape)).astype(jnp.float32)
+
+    return {
+        "token_embed": tn(ks[0], (cfg.vocab_size, d)),
+        "pos_embed": tn(ks[1], (cfg.max_positions, d)),
+        "blocks": {
+            "ln1_scale": jnp.ones((l, d)), "ln1_bias": jnp.zeros((l, d)),
+            "wqkv": tn(ks[2], (l, d, 3 * d)),
+            "bqkv": jnp.zeros((l, 3 * d)),
+            "wo": tn(ks[3], (l, d, d)), "bo": jnp.zeros((l, d)),
+            "ln2_scale": jnp.ones((l, d)), "ln2_bias": jnp.zeros((l, d)),
+            "w1": tn(ks[4], (l, d, m)), "b1": jnp.zeros((l, m)),
+            "w2": tn(ks[5], (l, m, d)), "b2": jnp.zeros((l, d)),
+        },
+        "ln_f_scale": jnp.ones((d,)), "ln_f_bias": jnp.zeros((d,)),
+        "proj": tn(ks[6], (d, cfg.projection_dim)),
+    }
+
+
+def _causal_text_block(x, blk, cfg: CLIPTextConfig):
+    b, n, d = x.shape
+    h = vit_mod._layernorm(x, blk["ln1_scale"], blk["ln1_bias"],
+                           cfg.ln_eps)
+    qkv = h @ blk["wqkv"] + blk["bqkv"]
+    dh = d // cfg.num_heads
+    q = qkv[..., :d].reshape(b, n, cfg.num_heads, dh)
+    k = qkv[..., d:2 * d].reshape(b, n, cfg.num_heads, dh)
+    v = qkv[..., 2 * d:].reshape(b, n, cfg.num_heads, dh)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (dh ** -0.5)
+    causal = jnp.tril(jnp.ones((n, n), bool))
+    scores = jnp.where(causal[None, None], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, n, d)
+    x = x + (o @ blk["wo"] + blk["bo"])
+    h = vit_mod._layernorm(x, blk["ln2_scale"], blk["ln2_bias"],
+                           cfg.ln_eps)
+    h = h @ blk["w1"] + blk["b1"]
+    h = h * jax.nn.sigmoid(1.702 * h)          # quick-GELU
+    return x + (h @ blk["w2"] + blk["b2"])
+
+
+def text_forward(params: Params, input_ids: jax.Array,
+                 cfg: CLIPTextConfig) -> jax.Array:
+    """Token ids (B, N) int32 -> text embeddings (B, projection_dim).
+
+    Pools at the EOT token, which CLIP identifies as the ARGMAX token id
+    per sequence (EOT has the highest id in CLIP's vocab) — matching
+    HF's CLIPTextModel pooling exactly."""
+    b, n = input_ids.shape
+    x = params["token_embed"][input_ids] + params["pos_embed"][:n]
+
+    def step(carry, blk):
+        return _causal_text_block(carry, blk, cfg), None
+
+    x, _ = jax.lax.scan(step, x, params["blocks"])
+    x = vit_mod._layernorm(x, params["ln_f_scale"], params["ln_f_bias"],
+                           cfg.ln_eps)
+    eot = jnp.argmax(input_ids, axis=-1)
+    pooled = x[jnp.arange(b), eot]
+    return pooled.astype(jnp.float32) @ params["proj"]
+
+
+def from_hf_clip_text_state_dict(sd: Mapping[str, np.ndarray], depth: int,
+                                 prefix: str = "text_model.") -> Params:
+    g = lambda n: np.asarray(sd[n], dtype=np.float32)  # noqa: E731
+    t = np.transpose
+
+    def stack(fmt, transform=None):
+        return np.stack([
+            (transform(g(fmt.format(i=i))) if transform
+             else g(fmt.format(i=i))) for i in range(depth)])
+
+    lyr = f"{prefix}encoder.layers.{{i}}."
+    wq = stack(lyr + "self_attn.q_proj.weight", t)
+    wk = stack(lyr + "self_attn.k_proj.weight", t)
+    wv = stack(lyr + "self_attn.v_proj.weight", t)
+    bq = stack(lyr + "self_attn.q_proj.bias")
+    bk = stack(lyr + "self_attn.k_proj.bias")
+    bv = stack(lyr + "self_attn.v_proj.bias")
+    d_model = wq.shape[1]
+    params: Params = {
+        "token_embed": g(f"{prefix}embeddings.token_embedding.weight"),
+        "pos_embed": g(f"{prefix}embeddings.position_embedding.weight"),
+        "blocks": {
+            "ln1_scale": stack(lyr + "layer_norm1.weight"),
+            "ln1_bias": stack(lyr + "layer_norm1.bias"),
+            "wqkv": np.concatenate([wq, wk, wv], axis=2),
+            "bqkv": np.concatenate([bq, bk, bv], axis=1),
+            "wo": stack(lyr + "self_attn.out_proj.weight", t),
+            "bo": stack(lyr + "self_attn.out_proj.bias"),
+            "ln2_scale": stack(lyr + "layer_norm2.weight"),
+            "ln2_bias": stack(lyr + "layer_norm2.bias"),
+            "w1": stack(lyr + "mlp.fc1.weight", t),
+            "b1": stack(lyr + "mlp.fc1.bias"),
+            "w2": stack(lyr + "mlp.fc2.weight", t),
+            "b2": stack(lyr + "mlp.fc2.bias"),
+        },
+        "ln_f_scale": g(f"{prefix}final_layer_norm.weight"),
+        "ln_f_bias": g(f"{prefix}final_layer_norm.bias"),
+    }
+    if "text_projection.weight" in sd:
+        params["proj"] = g("text_projection.weight").T
+    else:
+        params["proj"] = np.eye(d_model, dtype=np.float32)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training (CLIP objective)
+# ---------------------------------------------------------------------------
+
+def contrastive_loss(image_emb: jax.Array, text_emb: jax.Array,
+                     logit_scale: jax.Array) -> jax.Array:
+    """Symmetric InfoNCE over the in-batch similarity matrix."""
+    ie = image_emb / jnp.linalg.norm(image_emb, axis=-1, keepdims=True)
+    te = text_emb / jnp.linalg.norm(text_emb, axis=-1, keepdims=True)
+    logits = jnp.exp(logit_scale) * ie @ te.T
+    labels = jnp.arange(logits.shape[0])
+    li = -jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1),
+                              labels[:, None], axis=-1).mean()
+    lt = -jnp.take_along_axis(jax.nn.log_softmax(logits.T, axis=-1),
+                              labels[:, None], axis=-1).mean()
+    return 0.5 * (li + lt)
+
+
+def make_clip_train_step(vision_cfg: vit_mod.ViTConfig,
+                         text_cfg: CLIPTextConfig, optimizer):
+    """Jitted contrastive step over {vision, text, logit_scale} params."""
+
+    def loss_fn(params, images, input_ids):
+        ie = forward(params["vision"], images, vision_cfg)
+        te = text_forward(params["text"], input_ids, text_cfg)
+        return contrastive_loss(ie, te, params["logit_scale"])
+
+    @jax.jit
+    def step(params, opt_state, images, input_ids):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images,
+                                                  input_ids)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
