@@ -40,3 +40,24 @@ def test_fused_mlp_sharded_matches_single():
     out = np.asarray(fused_mlp_sharded(x, s, b, w1, b1, w2, b2, mesh,
                                        act="gelu_tanh"))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_ring_attention_matches_single_device():
+    """Sequence-parallel ring attention (k/v rotating via ppermute with
+    online-softmax accumulation) is exact vs whole-sequence attention."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from vit_fpga_tpu.ops.attention import mha_xla
+    from vit_fpga_tpu.parallel.shard_ops import ring_attention
+
+    devs = np.asarray(jax.devices()[:4])
+    mesh = Mesh(devs, axis_names=("sp",))
+    rng = np.random.default_rng(0)
+    B, H, N, Dh = 2, 3, 32, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(B, H, N, Dh)), jnp.float32)
+               for _ in range(3))
+    ref = np.asarray(mha_xla(q, k, v))
+    got = np.asarray(ring_attention(q, k, v, mesh))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

@@ -49,3 +49,56 @@ def fused_mlp_sharded(x, ln_scale, ln_bias, w1, b1, w2, b2, mesh: Mesh,
         out_specs=P("dp", None),
     )
     return fn(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp",
+                   scale: float | None = None):
+    """Sequence-parallel attention: q/k/v sharded along the token axis
+    over ``axis``; k/v shards rotate around the ring via ``ppermute``
+    while each device maintains online-softmax statistics for its local
+    q block (the cross-device generalization of blockwise flash
+    attention — O(N/devices) memory per chip, compute fully overlapped
+    with the neighbor exchange by XLA's scheduler).
+
+    Shapes: (B, H, N, Dh) each, N divisible by the axis size.  Full
+    bidirectional attention (ViT semantics — no causal mask).
+    """
+    import jax.numpy as jnp
+
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n_dev = mesh.shape[axis]
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def body(q, k, v):
+        # local shards: (B, H, n_loc, Dh)
+        qf = q.astype(jnp.float32)
+        # derive the carry inits from qf so shard_map marks them as
+        # varying over the sp axis (literal inits are unvarying and the
+        # fori_loop carry types then mismatch)
+        m = jnp.full_like(qf[..., :1], -jnp.inf)
+        l = jnp.zeros_like(m)
+        acc = jnp.zeros_like(qf)
+
+        def step(i, carry):
+            acc, m, l, k, v = carry
+            s = jnp.einsum("bhqd,bhkd->bhqk", qf, k.astype(jnp.float32)
+                           ) * scale
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+            k = jax.lax.ppermute(k, axis, perm)
+            v = jax.lax.ppermute(v, axis, perm)
+            return acc, m_new, l, k, v
+
+        acc, m, l, k, v = jax.lax.fori_loop(
+            0, n_dev, step, (acc, m, l, k, v))
+        return (acc / l).astype(q.dtype)
+
+    spec = P(None, None, axis, None)
+    fn = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec)
+    return fn(q, k, v)
