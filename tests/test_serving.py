@@ -164,3 +164,53 @@ def test_serving_latency_percentiles_exported():
     assert "p50" in pct and "p99" in pct and pct["p50"] > 0
     snap = Metrics.snapshot()
     assert any(k.startswith("serving/latency_ms/") for k in snap)
+
+
+def test_serving_priority_lane_jumps_queue():
+    """High-priority submits are batched ahead of earlier normal ones."""
+    import threading
+    order = []
+    gate = threading.Event()
+
+    def slow_fwd(batch):
+        gate.wait(timeout=10)   # hold the first batch until all submitted
+        import jax.numpy as jnp
+        order.append(int(batch[0, 0, 0, 0]))
+        return jnp.zeros((batch.shape[0], 4), jnp.float32)
+
+    with ImageServer(slow_fwd, image_size=8, batch_size=1,
+                     flush_ms=1.0) as srv:
+        futs = [srv.submit_raw(np.full((8, 8, 3), i, np.uint8))
+                for i in (1, 2, 3)]
+        hi = srv.submit_raw(np.full((8, 8, 3), 9, np.uint8), priority=True)
+        gate.set()
+        for f in futs + [hi]:
+            f.result(timeout=30)
+    # first picked-up batch may already hold item 1; the high-priority
+    # request must run before the remaining normal ones
+    assert order.index(9) <= 1, order
+
+
+def test_serving_queue_timeout_and_cancel():
+    import threading
+    gate = threading.Event()
+
+    def gated_fwd(batch):
+        gate.wait(timeout=10)
+        import jax.numpy as jnp
+        return jnp.zeros((batch.shape[0], 4), jnp.float32)
+
+    with ImageServer(gated_fwd, image_size=8, batch_size=1,
+                     flush_ms=1.0) as srv:
+        blocker = srv.submit_raw(np.zeros((8, 8, 3), np.uint8))
+        expired = srv.submit_raw(np.zeros((8, 8, 3), np.uint8),
+                                 timeout_ms=1.0)
+        cancelled = srv.submit_raw(np.zeros((8, 8, 3), np.uint8))
+        assert cancelled.cancel()
+        import time as _t
+        _t.sleep(0.05)          # let the deadline lapse while gated
+        gate.set()
+        assert blocker.result(timeout=30).shape == (4,)
+        with pytest.raises(TimeoutError):
+            expired.result(timeout=30)
+        assert cancelled.cancelled()

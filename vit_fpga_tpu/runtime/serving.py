@@ -21,6 +21,7 @@ semantics — serving must not drop requests).
 from __future__ import annotations
 
 import io
+import itertools
 import queue
 import threading
 import time
@@ -61,7 +62,11 @@ class ImageServer:
         self._flush_s = flush_ms / 1e3
         self._decode_pool = ThreadPoolExecutor(decode_workers,
                                                thread_name_prefix="decode")
-        self._pending: "queue.Queue" = queue.Queue(maxsize=4 * batch_size)
+        # priority queue entries: (lane, seq, img, fut, t0, deadline) —
+        # lane 0 = high priority, 1 = normal; seq keeps FIFO within a lane
+        self._pending: "queue.PriorityQueue" = queue.PriorityQueue(
+            maxsize=4 * batch_size)
+        self._seq = itertools.count()
         self._dispatched: "queue.Queue" = queue.Queue(maxsize=max_inflight)
         self._stop = threading.Event()
         self._closed = threading.Event()   # rejects new submits during drain
@@ -76,21 +81,37 @@ class ImageServer:
 
     # -- public API -----------------------------------------------------------
 
-    def submit(self, jpeg_bytes: bytes) -> Future:
-        """Enqueue one encoded image; resolves to its embedding/logits row."""
+    def submit(self, jpeg_bytes: bytes, priority: bool = False,
+               timeout_ms: Optional[float] = None) -> Future:
+        """Enqueue one encoded image; resolves to its embedding/logits row.
+
+        ``priority=True`` requests jump the normal lane.  ``timeout_ms``
+        bounds QUEUE time: a request the batcher picks up past its
+        deadline fails with TimeoutError instead of wasting a batch slot.
+        Futures can also be cancelled (``fut.cancel()``) any time before
+        batching."""
         if self._closed.is_set():
             raise ServerClosed("submit() on closed ImageServer")
         fut: Future = Future()
-        self._decode_pool.submit(self._decode_one, jpeg_bytes, fut)
+        self._decode_pool.submit(self._decode_one, jpeg_bytes, fut,
+                                 priority, timeout_ms)
         return fut
 
-    def submit_raw(self, image_u8: np.ndarray) -> Future:
+    def submit_raw(self, image_u8: np.ndarray, priority: bool = False,
+                   timeout_ms: Optional[float] = None) -> Future:
         """Enqueue an already-decoded (S, S, 3) uint8 image."""
         if self._closed.is_set():
             raise ServerClosed("submit_raw() on closed ImageServer")
         fut: Future = Future()
-        self._pending.put((image_u8, fut, time.monotonic()))
+        self._enqueue(image_u8, fut, priority, timeout_ms)
         return fut
+
+    def _enqueue(self, img, fut, priority: bool,
+                 timeout_ms: Optional[float]) -> None:
+        now = time.monotonic()
+        deadline = now + timeout_ms / 1e3 if timeout_ms else None
+        self._pending.put((0 if priority else 1, next(self._seq),
+                           img, fut, now, deadline))
 
     def close(self, drain: bool = True, timeout: float = 30.0) -> None:
         """Stop accepting work; by default drain in-flight requests so no
@@ -109,7 +130,7 @@ class ImageServer:
         # fail anything the batcher never picked up
         while True:
             try:
-                _, fut, _ = self._pending.get_nowait()
+                _, _, _, fut, _, _ = self._pending.get_nowait()
             except queue.Empty:
                 break
             if not fut.done() and not fut.cancelled():
@@ -125,20 +146,34 @@ class ImageServer:
 
     # -- internals ------------------------------------------------------------
 
-    def _decode_one(self, data: bytes, fut: Future) -> None:
+    def _decode_one(self, data: bytes, fut: Future, priority: bool,
+                    timeout_ms: Optional[float]) -> None:
         try:
             img = decode_jpeg(data, self._size)
         except Exception as e:  # decode failure -> per-request error
             fut.set_exception(e)
             return
-        self._pending.put((img, fut, time.monotonic()))
+        self._enqueue(img, fut, priority, timeout_ms)
 
     def _batch_loop(self) -> None:
         import jax.numpy as jnp
         while not self._stop.is_set():
             items = []
+
+            def take(entry):
+                # drop cancelled / queue-expired requests at pickup
+                _, _, img, fut, t0, dl = entry
+                if fut.cancelled():
+                    return
+                if dl is not None and time.monotonic() > dl:
+                    if not fut.done():
+                        fut.set_exception(TimeoutError(
+                            "request expired in queue"))
+                    return
+                items.append((img, fut, t0))
+
             try:
-                items.append(self._pending.get(timeout=0.05))
+                take(self._pending.get(timeout=0.05))
             except queue.Empty:
                 continue
             # ONE absolute deadline per batch: a steady trickle cannot hold
@@ -149,9 +184,11 @@ class ImageServer:
                 if remaining <= 0:
                     break
                 try:
-                    items.append(self._pending.get(timeout=remaining))
+                    take(self._pending.get(timeout=remaining))
                 except queue.Empty:
                     break
+            if not items:
+                continue
             n = len(items)
             batch = np.zeros((self._batch, self._size, self._size, 3),
                              np.uint8)
