@@ -37,22 +37,49 @@ def export_vit(out_dir: str, variant: str = "vit_b16",
                image_size: int = 224, batch: int = 8,
                num_classes: int = 1000, dtype: str = "bfloat16",
                params: Optional[dict] = None, seed: int = 0) -> str:
-    """Lower the ViT raw-pixel forward for a fixed batch and dump the
-    native-client artifact directory.  Returns ``out_dir``."""
+    """Lower a model's raw-pixel forward for a fixed batch and dump the
+    native-client artifact directory.  Returns ``out_dir``.
+
+    Families: ViT variants (any ``models.vit`` name), ``clip_*`` vision
+    towers (embeddings out), and ``dtype="int8"`` ViT (the quantized
+    mega-kernel path — weights exported already-quantized)."""
     import jax
     import jax.numpy as jnp
     from jaxlib import xla_client
 
     from ..models import vit
 
-    cfg = vit.config(variant, image_size=image_size,
-                     num_classes=num_classes, dtype=dtype)
-    if params is None:
-        params = vit.init_params(jax.random.key(seed), cfg)
+    is_clip = variant.startswith("clip_")
+    if is_clip:
+        from ..models import clip
+        cfg = clip.clip_vision_config(variant.removeprefix("clip_"),
+                                      image_size=image_size,
+                                      dtype="bfloat16"
+                                      if dtype == "int8" else dtype)
+        if params is None:
+            params = clip.init_params(jax.random.key(seed), cfg,
+                                      projection_dim=num_classes or 768)
+        model_fn = lambda p, x: clip.forward_raw(p, x, cfg)  # noqa: E731
+        out_cols = params["proj"].shape[1]
+    else:
+        cfg = vit.config(variant, image_size=image_size,
+                         num_classes=num_classes,
+                         dtype="bfloat16" if dtype == "int8" else dtype)
+        if params is None:
+            params = vit.init_params(jax.random.key(seed), cfg)
+        model_fn = lambda p, x: vit.forward_raw(p, x, cfg)  # noqa: E731
+        out_cols = num_classes
+    if dtype == "int8":
+        from ..models import quantized
+        params = quantized.quantize_vit_fast(params)
+
+        def model_fn(p, x):  # noqa: F811
+            return quantized.vit_forward_int8_fast(
+                p, vit.preprocess(x, cfg), cfg)
 
     img_spec = jax.ShapeDtypeStruct((batch, image_size, image_size, 3),
                                     jnp.uint8)
-    fn = jax.jit(lambda p, x: vit.forward_raw(p, x, cfg))
+    fn = jax.jit(model_fn)
     lowered = fn.lower(params, img_spec)
     mlir_text = lowered.as_text()
 
@@ -77,7 +104,7 @@ def export_vit(out_dir: str, variant: str = "vit_b16",
             offset += len(raw)
     lines.append(f"arg {len(leaves)} input u8 4 {batch} {image_size} "
                  f"{image_size} 3 0 0")
-    lines.append(f"out f32 2 {batch} {num_classes}")
+    lines.append(f"out f32 2 {batch} {out_cols}")
     with open(os.path.join(out_dir, "manifest.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
     return out_dir
