@@ -82,6 +82,10 @@ class Model {
   // arg; shape/dtype per manifest) and returns the f32 output flattened.
   std::vector<float> forward(const void* input_data,
                              std::size_t input_nbytes);
+  // Same, but returns the raw output bytes in the manifest's out dtype
+  // (e.g. the uint8 image-filter program).
+  std::vector<std::uint8_t> forward_bytes(const void* input_data,
+                                          std::size_t input_nbytes);
 
   const Spec& input_spec() const { return specs_[input_idx_]; }
   const Spec& output_spec() const { return out_spec_; }

@@ -275,6 +275,17 @@ Model::~Model() {
 
 std::vector<float> Model::forward(const void* input_data,
                                   std::size_t input_nbytes) {
+  VFT_CHECK(out_spec_.dtype == "f32",
+            "forward() expects an f32 program; use forward_bytes() for "
+            "dtype " << out_spec_.dtype);
+  std::vector<std::uint8_t> raw = forward_bytes(input_data, input_nbytes);
+  std::vector<float> host(raw.size() / sizeof(float));
+  std::memcpy(host.data(), raw.data(), raw.size());
+  return host;
+}
+
+std::vector<std::uint8_t> Model::forward_bytes(const void* input_data,
+                                               std::size_t input_nbytes) {
   const PJRT_Api* api = rt_->api();
   const Spec& in = specs_[input_idx_];
   std::size_t expect = dtype_size(in.dtype);
@@ -311,15 +322,15 @@ std::vector<float> Model::forward(const void* input_data,
   CHECK_PJRT(api, api->PJRT_LoadedExecutable_Execute(&eargs));
   await_event(api, done);
 
-  std::size_t out_elems = 1;
-  for (auto d : out_spec_.dims) out_elems *= static_cast<std::size_t>(d);
-  std::vector<float> host(out_elems);
+  std::size_t out_bytes = dtype_size(out_spec_.dtype);
+  for (auto d : out_spec_.dims) out_bytes *= static_cast<std::size_t>(d);
+  std::vector<std::uint8_t> host(out_bytes);
   PJRT_Buffer_ToHostBuffer_Args hargs;
   std::memset(&hargs, 0, sizeof(hargs));
   hargs.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
   hargs.src = out_buf;
   hargs.dst = host.data();
-  hargs.dst_size = host.size() * sizeof(float);
+  hargs.dst_size = host.size();
   CHECK_PJRT(api, api->PJRT_Buffer_ToHostBuffer(&hargs));
   await_event(api, hargs.event);
 

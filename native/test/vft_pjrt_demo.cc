@@ -14,6 +14,7 @@
 
 #include <cstdio>
 #include <cstdlib>
+#include <cstring>
 #include <memory>
 #include <string>
 #include <vector>
@@ -59,18 +60,41 @@ int main(int argc, char** argv) {
 
     const auto& in = model.input_spec();
     std::size_t in_bytes = net::pjrt::dtype_size(in.dtype);
-    for (auto d : in.dims) in_bytes *= static_cast<std::size_t>(d);
-    // deterministic pseudo-image batch
-    std::vector<std::uint8_t> pixels(in_bytes);
-    for (std::size_t i = 0; i < pixels.size(); ++i)
-      pixels[i] = static_cast<std::uint8_t>((i * 2654435761u) >> 24);
+    std::size_t in_elems = 1;
+    for (auto d : in.dims) in_elems *= static_cast<std::size_t>(d);
+    in_bytes *= in_elems;
+    // deterministic pseudo input (uint8 pattern, or small f32 values)
+    std::vector<std::uint8_t> input(in_bytes);
+    if (in.dtype == "f32") {
+      std::vector<float> xs(in_elems);
+      for (std::size_t i = 0; i < in_elems; ++i)
+        xs[i] = static_cast<float>((i * 2654435761u) >> 24) / 255.0f;
+      std::memcpy(input.data(), xs.data(), in_bytes);
+    } else {
+      for (std::size_t i = 0; i < input.size(); ++i)
+        input[i] = static_cast<std::uint8_t>((i * 2654435761u) >> 24);
+    }
 
     const auto& out = model.output_spec();
+    if (out.dtype != "f32") {
+      // e.g. the uint8 image-filter program: print a checksum
+      std::vector<std::uint8_t> raw;
+      for (int it = 0; it < iters; ++it) {
+        raw = model.forward_bytes(input.data(), input.size());
+        std::printf("iter %d: forward %lld us\n", it,
+                    static_cast<long long>(model.last_forward_us()));
+      }
+      unsigned long long sum = 0;
+      for (auto b : raw) sum += b;
+      std::printf("output bytes=%zu checksum=%llu\n", raw.size(), sum);
+      std::printf("PJRT NATIVE DEMO OK\n");
+      return 0;
+    }
     const std::size_t batch = static_cast<std::size_t>(out.dims[0]);
     const std::size_t classes = static_cast<std::size_t>(out.dims[1]);
     std::vector<float> logits;
     for (int it = 0; it < iters; ++it) {
-      logits = model.forward(pixels.data(), pixels.size());
+      logits = model.forward(input.data(), input.size());
       std::printf("iter %d: forward %lld us\n", it,
                   static_cast<long long>(model.last_forward_us()));
     }

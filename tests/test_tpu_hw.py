@@ -252,3 +252,52 @@ def test_native_backward_kernels_on_hw():
         r = np.asarray(r, np.float32); o = np.asarray(o, np.float32)
         scale = np.abs(r).max() + 1e-6
         assert np.abs(o - r).max() / scale < 0.05
+
+
+def test_pjrt_native_dense_and_filter_on_hw(tmp_path):
+    """The native client runs the reference's BOTH device programs —
+    the dense net ('network_v1') and the 1080p filter ('image_process')
+    — with oracle parity (filter checksum is bit-exact)."""
+    import subprocess
+    demo = os.path.join(os.path.dirname(__file__),
+                        "../native/build/vft_pjrt_demo")
+    if not os.path.exists(demo):
+        pytest.skip("native build not present")
+    plugin = os.environ.get("VFT_PJRT_PLUGIN", "/opt/axon/libaxon_pjrt.so")
+    if not os.path.exists(plugin):
+        pytest.skip(f"no PJRT plugin at {plugin}")
+    import vit_fpga_tpu as vf
+    from vit_fpga_tpu.backends.cpu import NetCPU
+    from vit_fpga_tpu.ops.image_filter import filter_image_numpy
+    from vit_fpga_tpu.utils.export_pjrt import export_dense, export_filter
+
+    dense_dir = export_dense(str(tmp_path / "dense"), n_ins=784,
+                             widths=(256, 10))
+    filt_dir = export_filter(str(tmp_path / "filter"), 256, 384,
+                             "sharpen")
+    env = dict(os.environ,
+               AXON_POOL_SVC_OVERRIDE=os.environ.get(
+                   "AXON_POOL_SVC_OVERRIDE", "127.0.0.1"),
+               AXON_LOOPBACK_RELAY="1",
+               TPU_WORKER_HOSTNAMES=os.environ.get(
+                   "TPU_WORKER_HOSTNAMES", "localhost"))
+
+    # dense: same deterministic input as the demo binary
+    run = subprocess.run([demo, f"model={dense_dir}", "iters=1"], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert run.returncode == 0, run.stderr[-2000:]
+    x = (((np.arange(784, dtype=np.uint64) * 2654435761) >> np.uint64(24))
+         .astype(np.float32) / 255.0)
+    oracle = NetCPU(vf.random_net(784, [256, 10], seed=0)).launch_forward(x)
+    assert f"argmax={int(np.argmax(oracle))}" in run.stdout
+
+    # filter: bit-exact checksum vs the numpy oracle
+    run = subprocess.run([demo, f"model={filt_dir}", "iters=1"], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert run.returncode == 0, run.stderr[-2000:]
+    n = 256 * 384
+    i = np.arange(n, dtype=np.uint64)
+    img = ((i * 2654435761) >> np.uint64(24)).astype(np.uint8).reshape(
+        256, 384)
+    want = int(filter_image_numpy(img, "sharpen").astype(np.uint64).sum())
+    assert f"checksum={want}" in run.stdout

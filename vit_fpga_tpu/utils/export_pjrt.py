@@ -79,13 +79,20 @@ def export_vit(out_dir: str, variant: str = "vit_b16",
 
     img_spec = jax.ShapeDtypeStruct((batch, image_size, image_size, 3),
                                     jnp.uint8)
-    fn = jax.jit(model_fn)
-    lowered = fn.lower(params, img_spec)
-    mlir_text = lowered.as_text()
+    return _write_artifacts(out_dir, model_fn, params, img_spec,
+                            ("f32", (batch, out_cols)))
 
+
+def _write_artifacts(out_dir: str, model_fn, params, input_spec,
+                     out_spec) -> str:
+    """Lower ``model_fn(params, input)`` and write the artifact dir."""
+    import jax
+    from jaxlib import xla_client
+
+    lowered = jax.jit(model_fn).lower(params, input_spec)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "model.mlir"), "w") as f:
-        f.write(mlir_text)
+        f.write(lowered.as_text())
     with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
         f.write(xla_client.CompileOptions().SerializeAsString())
 
@@ -102,12 +109,65 @@ def export_vit(out_dir: str, variant: str = "vit_b16",
                          f"{offset} {len(raw)}")
             f.write(raw)
             offset += len(raw)
-    lines.append(f"arg {len(leaves)} input u8 4 {batch} {image_size} "
-                 f"{image_size} 3 0 0")
-    lines.append(f"out f32 2 {batch} {out_cols}")
+    in_dt = _DTYPE_NAMES[str(np.dtype(input_spec.dtype))]
+    in_dims = " ".join(str(d) for d in input_spec.shape)
+    lines.append(f"arg {len(leaves)} input {in_dt} "
+                 f"{len(input_spec.shape)} {in_dims} 0 0")
+    out_dt, out_dims = out_spec
+    lines.append(f"out {out_dt} {len(out_dims)} "
+                 + " ".join(str(d) for d in out_dims))
     with open(os.path.join(out_dir, "manifest.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
     return out_dir
+
+
+def export_dense(out_dir: str, data=None, n_ins: int = 784,
+                 widths=(256, 10), seed: int = 0,
+                 compute_dtype: str = "float32") -> str:
+    """Export the reference-layout dense net's forward (batch-1, the
+    reference's exact inference shape — src/netFPGA.cpp:239-290) for the
+    native PJRT client."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import random_net
+    from ..backends.tpu import _forward_fn
+
+    if data is None:
+        data = random_net(n_ins, list(widths), seed=seed)
+    data.validate()
+    params = [(jnp.asarray(np.ascontiguousarray(np.asarray(w).T),
+                           jnp.float32),
+               jnp.asarray(np.asarray(b), jnp.float32))
+              for w, b in zip(data.params, data.bias)]
+    acts = tuple(int(a) for a in data.activations)
+    dt = jnp.float32 if compute_dtype == "float32" else jnp.bfloat16
+
+    def fn(params, x):
+        return _forward_fn(params, x, acts=acts, compute_dtype=dt)
+
+    in_spec = jax.ShapeDtypeStruct((1, data.n_ins), jnp.float32)
+    return _write_artifacts(out_dir, fn, params, in_spec,
+                            ("f32", (1, int(data.n_p_l[-1]))))
+
+
+def export_filter(out_dir: str, height: int = 1080, width: int = 1920,
+                  kind: str = "sharpen") -> str:
+    """Export the streaming image filter (the reference's image_process
+    device program, src/netFPGA.cpp:303) as a PJRT artifact.  Output is
+    uint8 — the client reads it with forward_bytes()."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.image_filter import filter_image_device
+
+    def fn(params, img):
+        del params
+        return filter_image_device(img, kind)
+
+    in_spec = jax.ShapeDtypeStruct((height, width), jnp.uint8)
+    return _write_artifacts(out_dir, fn, {}, in_spec,
+                            ("u8", (height, width)))
 
 
 def main(argv=None) -> None:
