@@ -101,6 +101,15 @@ def main(argv):
 
         run_params = params
 
+    if (mode == "latency" and dtype == "bfloat16" and not is_clip):
+        from vit_fpga_tpu.models.vit import (forward_latency,
+                                             latency_forward_supported)
+        if latency_forward_supported(cfg, batch):
+            # single-launch whole-encoder kernel (layers on the grid,
+            # weights double-buffered per layer)
+            def fwd(p, x):  # noqa: F811
+                return forward_latency(p, x, cfg)
+
     if mode == "train":
         # ms per optimizer step — net-new capability: the reference stubs
         # training entirely (/root/reference/src/netFPGA.cpp:518-580).

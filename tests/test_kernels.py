@@ -168,3 +168,29 @@ def test_streamed_gemm_matches_dot():
     out = streamed_gemm(x, w, bk=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_vit_stack_kernel_matches_forward():
+    """The whole-encoder latency kernel (layers on the grid, token state
+    in scratch) matches the per-layer forward exactly."""
+    from vit_fpga_tpu.models import vit as vm
+    from vit_fpga_tpu.ops.vit_stack import vit_layers_pallas
+    cfg = vm.ViTConfig(image_size=16, patch_size=8, hidden_dim=32,
+                       depth=3, num_heads=4, mlp_dim=64, num_classes=5,
+                       dtype="float32", attn_impl="xla", mlp_impl="xla",
+                       hidden_act="gelu_tanh")
+    params = vm.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    # reference: per-layer blocks (pre-final-LN tokens)
+    ref = vm._forward_features(params, imgs, cfg)
+    # stack kernel path: embed identically, then the mega-kernel
+    x = vm.patchify(imgs, cfg.patch_size)
+    x = x @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
+    cls = jnp.broadcast_to(params["cls_token"], (2, 1, cfg.hidden_dim))
+    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    got = vit_layers_pallas(x, params["blocks"], cfg.num_heads,
+                            eps=cfg.ln_eps, act="gelu_tanh",
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)

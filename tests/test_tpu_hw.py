@@ -301,3 +301,19 @@ def test_pjrt_native_dense_and_filter_on_hw(tmp_path):
         256, 384)
     want = int(filter_image_numpy(img, "sharpen").astype(np.uint64).sum())
     assert f"checksum={want}" in run.stdout
+
+
+def test_latency_forward_parity_on_hw():
+    """The single-launch whole-encoder kernel matches the per-layer
+    forward on device."""
+    import jax.numpy as jnp
+    from vit_fpga_tpu.models import vit
+    cfg = vit.config("vit_b16", image_size=224, dtype="bfloat16")
+    assert vit.latency_forward_supported(cfg, 2)
+    params = jax.device_put(vit.init_params(jax.random.key(0), cfg))
+    imgs = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 224, 224, 3)), jnp.bfloat16)
+    ref = np.asarray(vit.forward(params, imgs, cfg), np.float32)
+    got = np.asarray(vit.forward_latency(params, imgs, cfg), np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 0.02

@@ -396,6 +396,44 @@ def forward_raw(params: Params, images_u8: jax.Array,
     return forward(params, preprocess(images_u8, cfg), cfg)
 
 
+def latency_forward_supported(cfg: ViTConfig, batch: int) -> bool:
+    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    from ..ops.vit_stack import stack_fits
+    return (cfg.dtype == "bfloat16" and cfg.pool == "cls" and batch <= 4
+            and stack_fits(cfg.num_heads, cfg.hidden_dim, cfg.mlp_dim,
+                           round_up(cfg.seq_len, SUBLANE_BF16),
+                           round_up(cfg.seq_len, LANE), batch))
+
+
+def forward_latency(params: Params, images: jax.Array,
+                    cfg: ViTConfig) -> jax.Array:
+    """Small-batch single-launch forward for LATENCY serving: the whole
+    encoder runs as ONE pallas_call with the layer index on the grid, so
+    layer i+1's weights stream from HBM while layer i computes
+    (ops/vit_stack.py).  Inference-only (no VJP); use :func:`forward`
+    for training/throughput."""
+    from ..ops.vit_stack import vit_layers_pallas
+    with _precision_ctx(cfg):
+        dt = cfg.compute_dtype
+        x = patchify(images.astype(dt), cfg.patch_size)
+        x = x @ params["patch_embed"]["kernel"].astype(dt)
+        x = x + params["patch_embed"]["bias"].astype(dt)
+        b = x.shape[0]
+        cls = jnp.broadcast_to(params["cls_token"].astype(dt),
+                               (b, 1, cfg.hidden_dim))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + params["pos_embed"].astype(dt)
+        act = cfg.hidden_act
+        if act == "gelu":
+            act = "gelu_tanh"   # bf16 compute; see _hidden_act
+        toks = vit_layers_pallas(x, params["blocks"], cfg.num_heads,
+                                 eps=cfg.ln_eps, act=act)
+        pooled = _layernorm(toks[:, :1], params["ln_f_scale"],
+                            params["ln_f_bias"], cfg.ln_eps)[:, 0]
+        return (pooled.astype(jnp.float32) @ params["head"]["kernel"]
+                + params["head"]["bias"])
+
+
 def jit_forward(cfg: ViTConfig, raw: bool = False):
     """Compile-once entry; cfg is baked in as static."""
     fn = forward_raw if raw else forward
