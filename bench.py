@@ -101,14 +101,20 @@ def main(argv):
 
         run_params = params
 
-    if (mode == "latency" and dtype == "bfloat16" and not is_clip):
-        from vit_fpga_tpu.models.vit import (forward_latency,
-                                             latency_forward_supported)
-        if latency_forward_supported(cfg, batch):
-            # single-launch whole-encoder kernel (layers on the grid,
-            # weights double-buffered per layer)
-            def fwd(p, x):  # noqa: F811
-                return forward_latency(p, x, cfg)
+    if mode == "latency" and dtype == "bfloat16":
+        # single-launch whole-encoder kernel (layers on the grid,
+        # weights double-buffered per layer)
+        if is_clip:
+            from vit_fpga_tpu.models import clip as _clipm
+            if _clipm.latency_forward_supported(cfg, batch):
+                def fwd(p, x):  # noqa: F811
+                    return _clipm.forward_latency(p, x, cfg)
+        else:
+            from vit_fpga_tpu.models.vit import (forward_latency,
+                                                 latency_forward_supported)
+            if latency_forward_supported(cfg, batch):
+                def fwd(p, x):  # noqa: F811
+                    return forward_latency(p, x, cfg)
 
     if mode == "train":
         # ms per optimizer step — net-new capability: the reference stubs

@@ -116,3 +116,22 @@ def test_contrastive_loss_and_train_step():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert min(losses[3:]) < losses[0]   # learns the batch
+
+
+def test_clip_latency_forward_matches(monkeypatch):
+    """The single-launch encoder path matches the per-layer CLIP forward
+    (interpret mode off-TPU)."""
+    import vit_fpga_tpu.ops.vit_stack as vs
+    orig = vs.vit_layers_pallas
+    monkeypatch.setattr(
+        vs, "vit_layers_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    cfg = clip.clip_vision_config("vit_ti16", image_size=32,
+                                  dtype="float32", attn_impl="xla",
+                                  mlp_impl="xla")
+    params = clip.init_params(jax.random.key(0), cfg, projection_dim=16)
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                       jnp.float32)
+    ref = np.asarray(clip.forward(params, imgs, cfg))
+    got = np.asarray(clip.forward_latency(params, imgs, cfg))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)

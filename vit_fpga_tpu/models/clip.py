@@ -354,3 +354,39 @@ def make_clip_train_step(vision_cfg: vit_mod.ViTConfig,
         return params, opt_state, loss
 
     return step
+
+
+def latency_forward_supported(cfg: vit_mod.ViTConfig, batch: int) -> bool:
+    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    from ..ops.vit_stack import stack_fits
+    return (cfg.dtype == "bfloat16" and batch <= 4
+            and stack_fits(cfg.num_heads, cfg.hidden_dim, cfg.mlp_dim,
+                           round_up(cfg.seq_len, SUBLANE_BF16),
+                           round_up(cfg.seq_len, LANE), batch))
+
+
+def forward_latency(params: Params, images: jax.Array,
+                    cfg: vit_mod.ViTConfig) -> jax.Array:
+    """Small-batch single-launch CLIP image encoder (see
+    vit.forward_latency): the whole encoder is ONE pallas_call with the
+    layer index on the grid; ln_pre/ln_post/projection stay outside."""
+    from ..ops.vit_stack import vit_layers_pallas
+    with vit_mod._precision_ctx(cfg):
+        dt = cfg.compute_dtype
+        x = vit_mod.patchify(images.astype(dt), cfg.patch_size)
+        x = x @ params["patch_embed"]["kernel"].astype(dt)
+        x = x + params["patch_embed"]["bias"].astype(dt)
+        b = x.shape[0]
+        cls = jnp.broadcast_to(params["cls_token"].astype(dt),
+                               (b, 1, cfg.hidden_dim))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + params["pos_embed"].astype(dt)
+        x = vit_mod._layernorm(x, params["ln_pre_scale"],
+                               params["ln_pre_bias"], cfg.ln_eps)
+        toks = vit_layers_pallas(x, params["blocks"], cfg.num_heads,
+                                 eps=cfg.ln_eps, act="quick_gelu"
+                                 if cfg.hidden_act == "quick_gelu"
+                                 else "gelu_tanh")
+        pooled = vit_mod._layernorm(toks[:, :1], params["ln_f_scale"],
+                                    params["ln_f_bias"], cfg.ln_eps)[:, 0]
+        return pooled.astype(jnp.float32) @ params["proj"]
