@@ -173,7 +173,6 @@ def main(argv):
                                          reps=1))
         reps.sort()
         p50 = reps[len(reps) // 2]
-        p99 = reps[-1]
         peak = (V5E_BF16_FLOPS if dtype == "bfloat16" else
                 2 * V5E_BF16_FLOPS if dtype == "int8" else
                 V5E_BF16_FLOPS / 2)
@@ -183,7 +182,9 @@ def main(argv):
                       "single-image p50 latency",
             "value": round(p50 * 1e6, 1),
             "unit": "us",
-            "p99_us": round(p99 * 1e6, 1),
+            # honest label: max over the 5 loop estimates, NOT a true
+            # p99 (each estimate is itself a device-loop mean)
+            "max_us": round(reps[-1] * 1e6, 1),
             "vs_baseline": round(ideal / p50, 4),
         }))
         return

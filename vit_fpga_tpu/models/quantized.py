@@ -166,7 +166,7 @@ def vit_forward_int8(qparams: Params, images: jax.Array,
                            cfg.ln_eps)
     pooled = x[:, 0]
     if "head" not in qparams:   # headless import (HF ViTModel): features out
-        return pooled
+        return pooled.astype(jnp.float32)   # same dtype as the fast path
     return _qlin(pooled, qparams["head"], impl)
 
 

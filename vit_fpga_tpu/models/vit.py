@@ -250,7 +250,9 @@ def _block(x, blk, cfg: ViTConfig):
     else:
         h = _layernorm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
         qkv = h @ blk["wqkv"].astype(dt) + blk["bqkv"].astype(dt)
-        o = mha_qkv(qkv, cfg.num_heads, impl=attn_impl)
+        # pass cfg.attn_impl (not the locally resolved value) so "auto"
+        # keeps its long-sequence flash routing inside mha_qkv
+        o = mha_qkv(qkv, cfg.num_heads, impl=cfg.attn_impl)
         x = x + (o @ blk["wo"].astype(dt) + blk["bo"].astype(dt))
 
     mlp_impl = cfg.mlp_impl
@@ -271,6 +273,8 @@ def _block(x, blk, cfg: ViTConfig):
         from ..ops.fused_mlp import mlp_weight_chunks
         itemsize = 2 if cfg.dtype == "bfloat16" else 4
         n_chunks = mlp_weight_chunks(cfg.hidden_dim, cfg.mlp_dim, itemsize)
+        if n_chunks == 0:   # nothing fits VMEM even chunked -> XLA
+            mlp_impl = "xla"
     act_name = cfg.hidden_act
     if act_name == "gelu" and dt == jnp.bfloat16:
         act_name = "gelu_tanh"  # see _hidden_act

@@ -295,11 +295,17 @@ FLASH_SEQ_THRESHOLD = 1024
 
 def mha_qkv(qkv, num_heads: int, n_valid: int | None = None,
             impl: str = "auto"):
-    """Packed-qkv attention dispatch (the model hot path)."""
+    """Packed-qkv attention dispatch (the model hot path).  ``auto``
+    routes long sequences to the O(N) blockwise flash kernel; an
+    EXPLICIT impl is honored verbatim (A/B comparisons must measure the
+    kernel they name)."""
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas" and qkv.shape[1] >= FLASH_SEQ_THRESHOLD:
-        impl = "flash"   # long sequences: O(N) blockwise kernel
+        if jax.default_backend() != "tpu":
+            impl = "xla"
+        elif qkv.shape[1] >= FLASH_SEQ_THRESHOLD:
+            impl = "flash"   # long sequences: O(N) blockwise kernel
+        else:
+            impl = "pallas"
     if impl == "flash":
         return _mha_qkv_flash_diff(qkv, num_heads, n_valid)
     if impl == "pallas":

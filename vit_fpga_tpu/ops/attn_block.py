@@ -77,7 +77,8 @@ class AttnPlan(NamedTuple):
 
 def attn_plan(n_heads: int, d: int, n_pad: int, kv_pad: int,
               itemsize: int, batch: int = 1,
-              budget: int = 13 * 1024 * 1024) -> AttnPlan:
+              budget: int = 13 * 1024 * 1024,
+              weight_itemsize: int | None = None) -> AttnPlan:
     """Choose the VMEM tier (see module docstring) for this geometry.
 
     Tiers, in preference order:
@@ -90,7 +91,9 @@ def attn_plan(n_heads: int, d: int, n_pad: int, kv_pad: int,
       big   — 1 image/cell, full slots + ao, vmem raised to 100MB.
               ViT-L@384: 0.829 ms.
     """
-    weights = (3 * d * d + d * d) * itemsize
+    # weights may be narrower than activations (int8 kernels: int8
+    # weights, bf16 activations)
+    weights = (3 * d * d + d * d) * (weight_itemsize or itemsize)
 
     def fixed(imgs):
         panel = imgs * kv_pad * 3 * d * itemsize

@@ -153,32 +153,13 @@ def score_slots_int8(n_heads: int, d: int, n_pad: int, kv_pad: int,
                      budget: int = 13 * 1024 * 1024,
                      batch: int = 1) -> tuple[int, int, bool, int]:
     """VMEM plan (imgs, head-group size, reuse_q, vmem_limit) for the int8
-    attention kernel (weights int8, activations bf16).  Same tiering
-    rationale as the bf16 kernel (ops/attn_block.attn_plan): multi-image
-    cells amortize per-cell overhead, a separate attention-out scratch is
-    strictly faster than q-slot reuse, which is the VMEM-tight fallback.
-    Int8 weights are half the bf16 footprint, so most geometries land in
-    the fast tiers."""
-    weights = 3 * d * d + d * d                  # int8
-
-    def fixed(imgs):
-        return (weights + imgs * kv_pad * 3 * d * 2
-                + 4 * imgs * n_pad * d * 2 + imgs * n_pad * d * 2)
-
-    slot = n_pad * kv_pad * 4
-    if fixed(1) + n_heads * slot <= budget:
-        for imgs in (4, 2):
-            if batch % imgs == 0 and (fixed(imgs) + 6 * slot
-                                      <= int(48 * 1024 * 1024 * 0.8)):
-                return imgs, min(n_heads, 6), False, 48 * 1024 * 1024
-    if fixed(1) + slot <= budget:
-        return 1, min(n_heads, (budget - fixed(1)) // slot), False, 0
-    ao1 = n_pad * d * 2
-    tight = budget + 1024 * 1024
-    if fixed(1) - ao1 + slot <= tight:
-        return (1, min(n_heads, 2, (tight - (fixed(1) - ao1)) // slot),
-                True, 0)
-    return 1, 0, True, 0
+    attention kernel — the bf16 tier planner (ops/attn_block.attn_plan)
+    with int8 weight residency (activations stay bf16).  Int8 weights
+    halve the footprint, so more geometries land in the fast tiers."""
+    from .attn_block import attn_plan
+    plan = attn_plan(n_heads, d, n_pad, kv_pad, itemsize=2, batch=batch,
+                     budget=budget, weight_itemsize=1)
+    return plan.imgs, plan.n_sc, plan.reuse_q, plan.vmem_limit
 
 
 def _attn_int8_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, sqkv_ref, bqkv_ref,

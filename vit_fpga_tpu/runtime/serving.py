@@ -109,9 +109,26 @@ class ImageServer:
     def _enqueue(self, img, fut, priority: bool,
                  timeout_ms: Optional[float]) -> None:
         now = time.monotonic()
-        deadline = now + timeout_ms / 1e3 if timeout_ms else None
-        self._pending.put((0 if priority else 1, next(self._seq),
-                           img, fut, now, deadline))
+        # explicit `is not None`: timeout_ms=0 means fail-if-not-instant,
+        # NOT no-deadline
+        deadline = (now + timeout_ms / 1e3 if timeout_ms is not None
+                    else None)
+        entry = (0 if priority else 1, next(self._seq), img, fut, now,
+                 deadline)
+        # bounded put that aborts on shutdown: a producer blocked on a
+        # full queue must not strand its future when close() stops the
+        # consumer
+        while True:
+            if self._stop.is_set():
+                if not fut.done() and not fut.cancelled():
+                    fut.set_exception(ServerClosed(
+                        "server closed while request was queuing"))
+                return
+            try:
+                self._pending.put(entry, timeout=0.05)
+                return
+            except queue.Full:
+                continue
 
     def close(self, drain: bool = True, timeout: float = 30.0) -> None:
         """Stop accepting work; by default drain in-flight requests so no

@@ -31,16 +31,25 @@ Params = Dict[str, Any]
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean NLL over VALID labels; negative labels (the data pipeline's
+    partial-batch padding sentinel, runtime/data.py) contribute zero loss
+    — without the mask, take_along_axis would wrap -1 to the last class
+    and actively train on padded rows."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    return nll.mean()
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
+    nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+    n = jnp.maximum(valid.sum(), 1)
+    return jnp.where(valid, nll, 0.0).sum() / n
 
 
 def vit_loss(params: Params, images: jax.Array, labels: jax.Array,
              cfg: vit.ViTConfig) -> Tuple[jax.Array, jax.Array]:
     logits = vit.forward(params, images, cfg)
     loss = cross_entropy(logits, labels)
-    acc = (logits.argmax(-1) == labels).mean()
+    valid = labels >= 0
+    correct = jnp.where(valid, logits.argmax(-1) == labels, False)
+    acc = correct.sum() / jnp.maximum(valid.sum(), 1)
     return loss, acc
 
 

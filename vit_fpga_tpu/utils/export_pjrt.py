@@ -50,6 +50,10 @@ def export_vit(out_dir: str, variant: str = "vit_b16",
     from ..models import vit
 
     is_clip = variant.startswith("clip_")
+    if is_clip and dtype == "int8":
+        raise ValueError(
+            "int8 export supports the ViT classifier family only — "
+            "quantize_vit_fast has no CLIP ln_pre/projection mapping")
     if is_clip:
         from ..models import clip
         cfg = clip.clip_vision_config(variant.removeprefix("clip_"),
