@@ -65,6 +65,17 @@ def make_vit_train_step(cfg: vit.ViTConfig, optimizer: optax.GradientTransformat
     the config selects — fused forwards on TPU, XLA everywhere else.
     """
 
+    if mesh is not None:
+        import dataclasses
+        # Pallas custom calls are opaque to XLA's SPMD partitioner; with
+        # tp-sharded weights they would force gathers (or fail) rather
+        # than partition.  Mesh training therefore uses the XLA block
+        # implementations, which the partitioner splits exactly as the
+        # PartitionSpecs describe; wrap kernels in shard_map explicitly
+        # (parallel/shard_ops.py) if fused-kernel multi-chip training is
+        # wanted.  Single-device training keeps the fused kernels and
+        # their native backward kernels.
+        cfg = dataclasses.replace(cfg, attn_impl="xla", mlp_impl="xla")
     if sequence_parallel and mesh is not None:
         import dataclasses
         from ..parallel.sharding import sequence_parallel_sharding
