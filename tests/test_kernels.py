@@ -149,8 +149,11 @@ def test_attn_plan_geometries():
     # ViT-B batch not divisible by 2: falls to fast tier
     p = attn_plan(12, 768, 208, 256, 2, batch=7)
     assert p.imgs == 1 and not p.reuse_q and p.n_sc >= 6
-    # CLIP-L: tight tier
+    # CLIP-L at even batch: upgraded 2-image tier with ao scratch
     p = attn_plan(16, 1024, 272, 384, 2, batch=64)
+    assert p.imgs == 2 and not p.reuse_q and p.n_sc == 4
+    # CLIP-L at batch 1: q-slot-reuse tight tier
+    p = attn_plan(16, 1024, 272, 384, 2, batch=1)
     assert p.imgs == 1 and p.reuse_q and p.n_sc == 2
     # ViT-L@384: big tier
     p = attn_plan(16, 1024, 592, 640, 2, batch=16)

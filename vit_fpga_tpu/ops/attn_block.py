@@ -116,7 +116,12 @@ def attn_plan(n_heads: int, d: int, n_pad: int, kv_pad: int,
                         False, 0)
     ao1 = n_pad * d * itemsize
     tight = budget + 1024 * 1024
-    if fixed(1) - ao1 + slot <= tight:  # tight tier: q-slot reuse, no ao
+    if fixed(1) - ao1 + slot <= tight:  # tight-eligible geometry
+        # upgrade: 2-image cells + ao scratch under the raised plan beat
+        # q-slot reuse when they fit (CLIP-L same-run A/B: 1.10 vs 1.22)
+        if (batch % 2 == 0
+                and fixed(2) + 4 * slot <= _MULTI_VMEM_BYTES * 0.8):
+            return AttnPlan(2, min(n_heads, 4), False, _MULTI_VMEM_BYTES)
         return AttnPlan(1, min(n_heads, 2,
                                (tight - (fixed(1) - ao1)) // slot), True, 0)
     big = int(_BIG_VMEM_BYTES * 0.8)    # leave pipelining headroom
