@@ -69,3 +69,38 @@ def test_int8_block_fits_geometries():
     from vit_fpga_tpu.models import quantized, vit
     assert quantized._int8_block_fits(vit.config("vit_b16"))
     assert quantized._int8_block_fits(vit.config("vit_l14"))
+
+
+def test_int8_latency_stack_matches_fast_path():
+    """The int8 layers-on-grid kernel matches the per-layer int8 fast
+    encoder semantics (interpret mode)."""
+    import vit_fpga_tpu.ops.vit_stack as vs
+    from vit_fpga_tpu.models import quantized, vit
+    from vit_fpga_tpu.ops.quant_block import (attn_block_int8_ref,
+                                              mlp_block_int8_ref)
+    cfg = vit.ViTConfig(image_size=16, patch_size=8, hidden_dim=32,
+                        depth=2, num_heads=4, mlp_dim=64, num_classes=5,
+                        dtype="bfloat16", attn_impl="xla", mlp_impl="xla")
+    params = vit.init_params(jax.random.key(0), cfg)
+    qp = quantized.quantize_vit_fast(params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 32)), jnp.bfloat16)
+    # reference: the per-layer int8 block composition
+    h = x
+    for i in range(cfg.depth):
+        blk = jax.tree_util.tree_map(lambda a: a[i], qp["blocks"])
+        h = attn_block_int8_ref(h, blk["ln1_scale"], blk["ln1_bias"],
+                                blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"],
+                                blk["wo_q"], blk["wo_s"], blk["bo"],
+                                cfg.num_heads, eps=cfg.ln_eps)
+        b_, n_, d_ = h.shape
+        h = mlp_block_int8_ref(
+            h.reshape(b_ * n_, d_), blk["ln2_scale"], blk["ln2_bias"],
+            blk["w1_q"], blk["w1_s"], blk["b1"], blk["w2_q"],
+            blk["w2_s"], blk["b2"], eps=cfg.ln_eps).reshape(b_, n_, d_)
+    ref = np.asarray(h, np.float32)
+    got = np.asarray(vs.vit_layers_int8_pallas(
+        x, qp["blocks"], cfg.num_heads, eps=cfg.ln_eps, act="gelu_tanh",
+        interpret=True), np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 0.03

@@ -298,3 +298,40 @@ def vit_forward_int8_fast(qparams: Params, images: jax.Array,
     hd = qparams["head"]
     return _fused_lin(cls_t, hd["wq"], hd["ws"], hd["b"])[:, 0].astype(
         jnp.float32)
+
+
+def int8_latency_supported(cfg: vit_mod.ViTConfig, batch: int) -> bool:
+    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    from ..ops.vit_stack import stack_fits
+    return (cfg.pool == "cls" and batch <= 4
+            and stack_fits(cfg.num_heads, cfg.hidden_dim, cfg.mlp_dim,
+                           round_up(cfg.seq_len, SUBLANE_BF16),
+                           round_up(cfg.seq_len, LANE), batch,
+                           itemsize=1))
+
+
+def vit_forward_int8_latency(qparams: Params, images: jax.Array,
+                             cfg: vit_mod.ViTConfig) -> jax.Array:
+    """Small-batch int8 forward through the single-launch encoder: int8
+    weights HALVE the per-layer weight stream the batch-1 path waits on
+    (see ops/vit_stack.py).  Inference-only."""
+    from ..ops.vit_stack import vit_layers_int8_pallas
+    dt = jnp.bfloat16
+    x = vit_mod.patchify(images.astype(dt), cfg.patch_size)
+    pe = qparams["patch_embed"]
+    x = _fused_lin(x, pe["wq"], pe["ws"], pe["b"])
+    b = x.shape[0]
+    cls = jnp.broadcast_to(qparams["cls_token"].astype(dt),
+                           (b, 1, cfg.hidden_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + qparams["pos_embed"].astype(dt)
+    act = "quick_gelu" if cfg.hidden_act == "quick_gelu" else "gelu_tanh"
+    toks = vit_layers_int8_pallas(x, qparams["blocks"], cfg.num_heads,
+                                  eps=cfg.ln_eps, act=act)
+    cls_t = vit_mod._layernorm(toks[:, :1], qparams["ln_f_scale"],
+                               qparams["ln_f_bias"], cfg.ln_eps)
+    if "head" not in qparams:
+        return cls_t[:, 0].astype(jnp.float32)
+    hd = qparams["head"]
+    return _fused_lin(cls_t, hd["wq"], hd["ws"], hd["b"])[:, 0].astype(
+        jnp.float32)

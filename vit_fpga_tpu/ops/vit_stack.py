@@ -186,3 +186,159 @@ def vit_layers_pallas(x, blocks, num_heads: int, eps: float = 1e-6,
       blocks["w1"].astype(dt), vec(blocks["b1"].astype(f32)),
       blocks["w2"].astype(dt), vec(blocks["b2"].astype(f32)))
     return out[:, :n, :]
+
+
+# ---------------------------------------------------------------------------
+# Int8 variant: same layers-on-grid design with int8 weights — at batch 1
+# the encoder is weight-READ bound (172 MB bf16 at ViT-B), so int8
+# weights halve the stream the kernel is waiting on.
+# ---------------------------------------------------------------------------
+
+def _stack_int8_kernel(x_ref, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
+                       l2s, l2b, w1, s1, b1, w2, s2, b2, o_ref, tok,
+                       qkv_s, sc, ao, *, eps: float, scale: float,
+                       n_valid: int, n_pad: int, kv_pad: int,
+                       n_heads: int, dh: int, batch: int, depth: int,
+                       act: str):
+    from .quant_block import _row_quant
+    i = pl.program_id(0)
+    d = n_heads * dh
+
+    @pl.when(i == 0)
+    def _():
+        tok[:] = x_ref[:].reshape(batch * n_pad, d)
+
+    x = tok[:]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps) * l1s[0] + l1b[0]
+    xq, sx = _row_quant(xn)
+    acc = jax.lax.dot_general(xq, wqkv[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    qkv = (acc.astype(jnp.float32) * (sx * sqkv[0])
+           + bqkv[0]).astype(x.dtype)
+    for b in range(batch):
+        if kv_pad != n_pad:
+            qkv_s[b, :n_pad] = qkv[b * n_pad:(b + 1) * n_pad]
+            qkv_s[b, n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d), x.dtype)
+        else:
+            qkv_s[b] = qkv[b * n_pad:(b + 1) * n_pad]
+    for b in range(batch):
+        for h in range(n_heads):
+            q = qkv_s[b, :n_pad, h * dh:(h + 1) * dh]
+            k = qkv_s[b, :, d + h * dh:d + (h + 1) * dh]
+            sc[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+        for h in range(n_heads):
+            s = sc[h]
+            if n_valid < kv_pad:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n_valid, s, _NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+            v = qkv_s[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            ao[b * n_pad:(b + 1) * n_pad, h * dh:(h + 1) * dh] = jnp.dot(
+                p, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    aoq, sa = _row_quant(ao[:].astype(jnp.float32))
+    acc_o = jax.lax.dot_general(aoq, wo[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    y = acc_o.astype(jnp.float32) * (sa * so[0]) + bo[0]
+    xa = x + y.astype(x.dtype)
+
+    xf2 = xa.astype(jnp.float32)
+    mu2 = jnp.mean(xf2, axis=-1, keepdims=True)
+    var2 = jnp.var(xf2, axis=-1, keepdims=True)
+    xn2 = (xf2 - mu2) * jax.lax.rsqrt(var2 + eps) * l2s[0] + l2b[0]
+    hq, sh = _row_quant(xn2)
+    acc1 = jax.lax.dot_general(hq, w1[0], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    h = acc1.astype(jnp.float32) * (sh * s1[0]) + b1[0]
+    if act == "gelu_tanh":
+        h = jax.nn.gelu(h, approximate=True)
+    elif act == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        raise ValueError(act)
+    gq, sg = _row_quant(h)
+    acc2 = jax.lax.dot_general(gq, w2[0], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    y2 = acc2.astype(jnp.float32) * (sg * s2[0]) + b2[0]
+    out = xa + y2.astype(x.dtype)
+    tok[:] = out
+
+    @pl.when(i == depth - 1)
+    def _():
+        o_ref[:] = out.reshape(batch, n_pad, d)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "act",
+                                             "n_valid", "interpret"))
+def vit_layers_int8_pallas(x, qblocks, num_heads: int, eps: float = 1e-6,
+                           act: str = "gelu_tanh",
+                           n_valid: int | None = None,
+                           interpret: bool = False):
+    """Int8 layers-on-grid encoder: ``qblocks`` is the quantize_vit_fast
+    blocks dict (int8 weights + f32 column scales).  Returns pre-final-LN
+    tokens."""
+    b, n, d = x.shape
+    depth = qblocks["wqkv_q"].shape[0]
+    m = qblocks["w1_q"].shape[2]
+    dh = d // num_heads
+    if n_valid is None:
+        n_valid = n
+    sub = SUBLANE_BF16 if x.dtype == jnp.bfloat16 else SUBLANE_F32
+    n_pad = round_up(n, sub)
+    kv_pad = round_up(n, LANE)
+    if n_pad != n:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    def per_layer(*tr):
+        return pl.BlockSpec((1,) + tr,
+                            lambda i: (i,) + tuple(0 for _ in tr),
+                            memory_space=pltpu.VMEM)
+
+    def vec(a):
+        return a.reshape(a.shape[0], 1, a.shape[1]).astype(jnp.float32)
+
+    dt = x.dtype
+    out = pl.pallas_call(
+        functools.partial(_stack_int8_kernel, eps=eps,
+                          scale=1.0 / (dh ** 0.5),
+                          n_valid=min(n_valid, n), n_pad=n_pad,
+                          kv_pad=kv_pad, n_heads=num_heads, dh=dh,
+                          batch=b, depth=depth, act=act),
+        grid=(depth,),
+        in_specs=[const((b, n_pad, d)),
+                  per_layer(1, d), per_layer(1, d),
+                  per_layer(d, 3 * d), per_layer(1, 3 * d),
+                  per_layer(1, 3 * d),
+                  per_layer(d, d), per_layer(1, d), per_layer(1, d),
+                  per_layer(1, d), per_layer(1, d),
+                  per_layer(d, m), per_layer(1, m), per_layer(1, m),
+                  per_layer(m, d), per_layer(1, d), per_layer(1, d)],
+        out_specs=const((b, n_pad, d)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), dt),
+        scratch_shapes=[
+            pltpu.VMEM((b * n_pad, d), dt),
+            pltpu.VMEM((b, kv_pad, 3 * d), dt),
+            pltpu.VMEM((num_heads, n_pad, kv_pad), jnp.float32),
+            pltpu.VMEM((b * n_pad, d), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x,
+      vec(qblocks["ln1_scale"]), vec(qblocks["ln1_bias"]),
+      qblocks["wqkv_q"], vec(qblocks["wqkv_s"]), vec(qblocks["bqkv"]),
+      qblocks["wo_q"], vec(qblocks["wo_s"]), vec(qblocks["bo"]),
+      vec(qblocks["ln2_scale"]), vec(qblocks["ln2_bias"]),
+      qblocks["w1_q"], vec(qblocks["w1_s"]), vec(qblocks["b1"]),
+      qblocks["w2_q"], vec(qblocks["w2_s"]), vec(qblocks["b2"]))
+    return out[:, :n, :]
