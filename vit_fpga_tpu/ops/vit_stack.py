@@ -33,7 +33,7 @@ def _stack_kernel(x_ref, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
                   w2, b2, o_ref, tok, qkv_s, sc, ao, *, eps: float,
                   scale: float, n_valid: int, n_pad: int, kv_pad: int,
                   n_heads: int, dh: int, batch: int, depth: int,
-                  act: str):
+                  act: str, n_sc: int):
     i = pl.program_id(0)
     d = n_heads * dh
 
@@ -58,23 +58,27 @@ def _stack_kernel(x_ref, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
         else:
             qkv_s[b] = qkv[b * n_pad:(b + 1) * n_pad]
     for b in range(batch):
-        for h in range(n_heads):
-            q = qkv_s[b, :n_pad, h * dh:(h + 1) * dh]
-            k = qkv_s[b, :, d + h * dh:d + (h + 1) * dh]
-            sc[h] = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-        for h in range(n_heads):
-            s = sc[h]
-            if n_valid < kv_pad:
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col < n_valid, s, _NEG_INF)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-            v = qkv_s[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-            ao[b * n_pad:(b + 1) * n_pad, h * dh:(h + 1) * dh] = jnp.dot(
-                p, v, preferred_element_type=jnp.float32).astype(x.dtype)
+        for g in range(0, n_heads, n_sc):
+            heads = range(g, min(g + n_sc, n_heads))
+            for h in heads:
+                q = qkv_s[b, :n_pad, h * dh:(h + 1) * dh]
+                k = qkv_s[b, :, d + h * dh:d + (h + 1) * dh]
+                sc[h - g] = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+            for h in heads:
+                s = sc[h - g]
+                if n_valid < kv_pad:
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    s = jnp.where(col < n_valid, s, _NEG_INF)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                p = (e / jnp.sum(e, axis=-1,
+                                 keepdims=True)).astype(x.dtype)
+                v = qkv_s[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+                ao[b * n_pad:(b + 1) * n_pad,
+                   h * dh:(h + 1) * dh] = jnp.dot(
+                    p, v, preferred_element_type=jnp.float32).astype(x.dtype)
     y = jnp.dot(ao[:], wo[0], preferred_element_type=jnp.float32) + bo[0]
     xa = x + y.astype(x.dtype)
 
@@ -101,17 +105,27 @@ def _stack_kernel(x_ref, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
         o_ref[:] = out.reshape(batch, n_pad, d)
 
 
-def stack_fits(n_heads: int, d: int, mlp_dim: int, n_pad: int,
-               kv_pad: int, batch: int, itemsize: int = 2) -> bool:
-    """One layer's weights (double-buffered) + token state + scores must
-    fit the raised VMEM plan."""
+def stack_plan(n_heads: int, d: int, mlp_dim: int, n_pad: int,
+               kv_pad: int, batch: int, itemsize: int = 2) -> int:
+    """Score-slot count (head-group size) for the layers-on-grid kernel,
+    or 0 if one layer's double-buffered weights + token state + hidden
+    tile can't fit the raised VMEM plan at even 2 slots."""
     weights = (4 * d * d + 2 * d * mlp_dim) * itemsize * 2   # 2 buffers
     tokens = 2 * batch * n_pad * d * itemsize                # tok + ao
     panel = batch * kv_pad * 3 * d * itemsize
-    scores = n_heads * n_pad * kv_pad * 4
     hidden = batch * n_pad * mlp_dim * 4
-    return (weights + tokens + panel + scores + hidden
-            <= int(100 * 1024 * 1024 * 0.8))
+    fixed = weights + tokens + panel + hidden
+    slot = n_pad * kv_pad * 4
+    budget = int(100 * 1024 * 1024 * 0.8)
+    if fixed + 2 * slot > budget:
+        return 0
+    return min(n_heads, (budget - fixed) // slot)
+
+
+def stack_fits(n_heads: int, d: int, mlp_dim: int, n_pad: int,
+               kv_pad: int, batch: int, itemsize: int = 2) -> bool:
+    return stack_plan(n_heads, d, mlp_dim, n_pad, kv_pad, batch,
+                      itemsize) >= 2
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "act",
@@ -141,6 +155,10 @@ def vit_layers_pallas(x, blocks, num_heads: int, eps: float = 1e-6,
                             lambda i: (i,) + tuple(0 for _ in trailing),
                             memory_space=pltpu.VMEM)
 
+    n_sc = stack_plan(num_heads, d, m, n_pad, kv_pad, b,
+                      x.dtype.itemsize)
+    if n_sc < 2:
+        raise ValueError(f"vit_layers does not fit VMEM at d={d}, seq={n}")
     dt = x.dtype
     f32 = jnp.float32
 
@@ -155,7 +173,7 @@ def vit_layers_pallas(x, blocks, num_heads: int, eps: float = 1e-6,
         functools.partial(_stack_kernel, eps=eps, scale=1.0 / (dh ** 0.5),
                           n_valid=min(n_valid, n), n_pad=n_pad,
                           kv_pad=kv_pad, n_heads=num_heads, dh=dh,
-                          batch=b, depth=depth, act=act),
+                          batch=b, depth=depth, act=act, n_sc=n_sc),
         grid=(depth,),
         in_specs=[const((b, n_pad, d)),
                   per_layer(1, d), per_layer(1, d),
@@ -169,7 +187,7 @@ def vit_layers_pallas(x, blocks, num_heads: int, eps: float = 1e-6,
         scratch_shapes=[
             pltpu.VMEM((b * n_pad, d), dt),
             pltpu.VMEM((b, kv_pad, 3 * d), dt),
-            pltpu.VMEM((num_heads, n_pad, kv_pad), f32),
+            pltpu.VMEM((n_sc, n_pad, kv_pad), f32),
             pltpu.VMEM((b * n_pad, d), dt),
         ],
         compiler_params=pltpu.CompilerParams(
