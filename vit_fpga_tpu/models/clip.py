@@ -76,7 +76,15 @@ def forward(params: Params, images: jax.Array,
         x = vit_mod._layernorm(x, params["ln_pre_scale"],
                                params["ln_pre_bias"], cfg.ln_eps)
 
-        block_fn = partial(vit_mod._block, cfg=cfg)
+        # padded residency (see vit._forward_features): pad the token
+        # axis once, run every block with n_valid, never pad per layer
+        n = cfg.seq_len
+        from ..ops.common import round_up
+        n_pad = round_up(n, 16 if dt == jnp.bfloat16 else 8)
+        if n_pad != n:
+            x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+
+        block_fn = partial(vit_mod._block, cfg=cfg, n_valid=n)
         if cfg.remat:
             block_fn = jax.checkpoint(block_fn)
 

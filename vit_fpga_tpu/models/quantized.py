@@ -236,7 +236,8 @@ def _int8_block_fits(cfg: vit_mod.ViTConfig) -> bool:
     return attn_ok and mlp_ok
 
 
-def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig):
+def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig,
+                 n_valid: int | None = None):
     b, n, d = x.shape
     act = "quick_gelu" if cfg.hidden_act == "quick_gelu" else "gelu_tanh"
     if jax.default_backend() == "tpu" and _int8_block_fits(cfg):
@@ -246,7 +247,7 @@ def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig):
         x = attn_block_int8(
             x, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv_q"],
             blk["wqkv_s"], blk["bqkv"], blk["wo_q"], blk["wo_s"],
-            blk["bo"], cfg.num_heads, eps=cfg.ln_eps)
+            blk["bo"], cfg.num_heads, eps=cfg.ln_eps, n_valid=n_valid)
         x2 = mlp_block_int8(
             x.reshape(b * n, d), blk["ln2_scale"], blk["ln2_bias"],
             blk["w1_q"], blk["w1_s"], blk["b1"], blk["w2_q"],
@@ -256,7 +257,7 @@ def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig):
     qkv = _fused_lin(x, blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"],
                      ln=(blk["ln1_scale"], blk["ln1_bias"]),
                      eps=cfg.ln_eps)
-    o = mha_qkv(qkv, cfg.num_heads, impl=cfg.attn_impl)
+    o = mha_qkv(qkv, cfg.num_heads, n_valid=n_valid, impl=cfg.attn_impl)
     x = x + _fused_lin(o, blk["wo_q"], blk["wo_s"], blk["bo"])
     # LN2 fused into the quantizing w1 projection (+ activation)
     h = _fused_lin(x, blk["w1_q"], blk["w1_s"], blk["b1"], act=act,
@@ -278,8 +279,16 @@ def vit_forward_int8_fast(qparams: Params, images: jax.Array,
     x = jnp.concatenate([cls, x], axis=1)
     x = x + qparams["pos_embed"].astype(dt)
 
+    # padded residency (see vit._forward_features): pad once, run all
+    # blocks with n_valid, slice once — no per-layer pad/slice copies
+    n = cfg.seq_len
+    from ..ops.common import SUBLANE_BF16, round_up
+    n_pad = round_up(n, SUBLANE_BF16)
+    if n_pad != n:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+
     def step(carry, blk):
-        return _qblock_fast(carry, blk, cfg), None
+        return _qblock_fast(carry, blk, cfg, n_valid=n), None
 
     use_scan = (cfg.scan_blocks if cfg.scan_blocks is not None
                 else cfg.remat)

@@ -225,12 +225,14 @@ def _attn_block_fits(cfg: ViTConfig) -> bool:
                      itemsize).n_sc >= 1
 
 
-def _block(x, blk, cfg: ViTConfig):
+def _block(x, blk, cfg: ViTConfig, n_valid: int | None = None):
     """One pre-LN transformer block. ``blk`` holds this layer's params.
 
     Attention runs on the PACKED (B, N, 3D) qkv tensor — the fused Pallas
     kernel (or the einsum fallback) slices per-head q/k/v internally, so
-    no head-split transpose ever materializes in HBM.
+    no head-split transpose ever materializes in HBM.  ``n_valid`` masks
+    key/value columns >= n_valid (padded-residency encoders pass tokens
+    already sublane-padded, so no per-layer pad/slice copies happen).
     """
     b, n, d = x.shape
     dt = cfg.compute_dtype
@@ -246,13 +248,14 @@ def _block(x, blk, cfg: ViTConfig):
         x = attn_block(
             x, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
             blk["bqkv"], blk["wo"], blk["bo"], cfg.num_heads,
-            cfg.ln_eps)
+            cfg.ln_eps, n_valid)
     else:
         h = _layernorm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
         qkv = h @ blk["wqkv"].astype(dt) + blk["bqkv"].astype(dt)
         # pass cfg.attn_impl (not the locally resolved value) so "auto"
         # keeps its long-sequence flash routing inside mha_qkv
-        o = mha_qkv(qkv, cfg.num_heads, impl=cfg.attn_impl)
+        o = mha_qkv(qkv, cfg.num_heads, n_valid=n_valid,
+                    impl=cfg.attn_impl)
         x = x + (o @ blk["wo"].astype(dt) + blk["bo"].astype(dt))
 
     mlp_impl = cfg.mlp_impl
@@ -338,7 +341,20 @@ def _forward_features(params: Params, images: jax.Array,
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(dt)
 
-    block_fn = partial(_block, cfg=cfg)
+    # Padded residency: pad the token axis ONCE to the sublane multiple
+    # and keep that layout across all blocks (n_valid masks the pad keys)
+    # instead of letting every fused kernel pad/slice per layer — saves
+    # ~0.4 ms/step at ViT-B/16 b64 (experiments/perf_padded_residency.py)
+    # and is bit-exact.  The MLP runs the pad rows (5.6% extra GEMM rows
+    # at ViT-B) but that is cheaper than 24 HBM pad/slice copies.
+    n = cfg.seq_len
+    from ..ops.common import round_up
+    sub = 16 if dt == jnp.bfloat16 else 8
+    n_pad = round_up(n, sub)
+    if n_pad != n:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+
+    block_fn = partial(_block, cfg=cfg, n_valid=n)
     if cfg.remat:
         block_fn = jax.checkpoint(block_fn)
 
@@ -360,7 +376,7 @@ def _forward_features(params: Params, images: jax.Array,
         for i in range(cfg.depth):
             blk = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
             x, _ = step(x, blk)
-    return x
+    return x[:, :n]
 
 
 def forward_features(params: Params, images: jax.Array,

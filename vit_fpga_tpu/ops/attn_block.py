@@ -264,22 +264,25 @@ def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
     return out[:, :n, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, num_heads: int,
-               eps: float):
+               eps: float, n_valid: int | None = None):
     """Differentiable fused attention half: Pallas forward, XLA-recompute
-    backward (rematerialization; see ops/fused_mlp.py)."""
+    backward (rematerialization; see ops/fused_mlp.py).  ``n_valid``
+    supports padded-residency encoders (tokens kept sublane-padded across
+    layers; key/value columns >= n_valid are masked)."""
     return attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
-                             num_heads, eps=eps)
+                             num_heads, eps=eps, n_valid=n_valid)
 
 
-def _attn_block_fwd(x, ls, lb, wqkv, bqkv, wo, bo, num_heads, eps):
+def _attn_block_fwd(x, ls, lb, wqkv, bqkv, wo, bo, num_heads, eps,
+                    n_valid):
     out = attn_block_pallas(x, ls, lb, wqkv, bqkv, wo, bo, num_heads,
-                            eps=eps)
+                            eps=eps, n_valid=n_valid)
     return out, (x, ls, lb, wqkv, bqkv, wo, bo)
 
 
-def _attn_block_bwd(num_heads, eps, res, g):
+def _attn_block_bwd(num_heads, eps, n_valid, res, g):
     x, ls, lb, wqkv, bqkv, wo, bo = res
     d = x.shape[-1]
     n_pad = round_up(x.shape[1], _sublane(x.dtype))
@@ -287,11 +290,13 @@ def _attn_block_bwd(num_heads, eps, res, g):
     fits = _bwd_fits(num_heads, d, n_pad, kv_pad, x.dtype.itemsize)
     if jax.default_backend() == "tpu" and fits:
         dx, dls, dlb, dwqkv, dbqkv, dwo, dbo = attn_block_bwd_pallas(
-            x, ls, lb, wqkv, bqkv, wo, g, num_heads, eps=eps)
+            x, ls, lb, wqkv, bqkv, wo, g, num_heads, eps=eps,
+            n_valid=n_valid)
         grads = (dx, dls, dlb, dwqkv, dbqkv, dwo, dbo)
         return tuple(gr.astype(p.dtype) for gr, p in zip(grads, res))
     _, vjp = jax.vjp(
-        lambda *a: attn_block_xla(*a, num_heads=num_heads, eps=eps), *res)
+        lambda *a: attn_block_xla(*a, num_heads=num_heads, eps=eps,
+                                  n_valid=n_valid), *res)
     return vjp(g)
 
 
