@@ -327,32 +327,65 @@ def _precision_ctx(cfg: ViTConfig):
         "float32" if cfg.dtype == "float32" else "default")
 
 
+def _fused_embed(params: Params, images: jax.Array, cfg: ViTConfig,
+                 n_pad: int) -> jax.Array:
+    """Images -> PADDED (B, n_pad, D) tokens via one Pallas kernel.
+
+    GEMM + bias + pos-embed + CLS row + tail zeros fuse into a single
+    pass (ops/patch_embed.embed_tokens); XLA's equivalent chain costs
+    three extra HBM round-trips over the token tensor.  The CLS row
+    rides a folded (n_pad, D) table — see ops/patch_embed.py."""
+    from ..ops.patch_embed import embed_tokens
+    dt = cfg.compute_dtype
+    n, d = cfg.seq_len, cfg.hidden_dim
+    p = patchify(images.astype(dt), cfg.patch_size)       # (B, N-1, P²3)
+    # leading zero row (CLS slot) + tail pad rows; XLA fuses this pad
+    # into patchify's transpose copy
+    pp = jnp.pad(p, [(0, 0), (1, n_pad - n), (0, 0)])
+    pos = params["pos_embed"][0].astype(jnp.float32)      # (N, D)
+    bias = params["patch_embed"]["bias"].astype(jnp.float32)
+    cls = params["cls_token"][0, 0].astype(jnp.float32)
+    posb = jnp.concatenate([
+        (cls + pos[0])[None],                              # CLS row
+        pos[1:] + bias,                                    # patch rows
+        jnp.zeros((n_pad - n, d), jnp.float32),            # tail
+    ], axis=0)
+    return embed_tokens(pp, params["patch_embed"]["kernel"].astype(dt),
+                        posb)
+
+
 def _forward_features(params: Params, images: jax.Array,
                       cfg: ViTConfig) -> jax.Array:
     """Normalized images -> PRE-final-LN tokens (B, N+1, D); callers
     apply the final LayerNorm (forward slices the CLS row first)."""
     dt = cfg.compute_dtype
-    x = patchify(images.astype(dt), cfg.patch_size)
-    x = x @ params["patch_embed"]["kernel"].astype(dt)
-    x = x + params["patch_embed"]["bias"].astype(dt)
-    b = x.shape[0]
-    cls = jnp.broadcast_to(params["cls_token"].astype(dt),
-                           (b, 1, cfg.hidden_dim))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos_embed"].astype(dt)
 
-    # Padded residency: pad the token axis ONCE to the sublane multiple
-    # and keep that layout across all blocks (n_valid masks the pad keys)
-    # instead of letting every fused kernel pad/slice per layer — saves
-    # ~0.4 ms/step at ViT-B/16 b64 (experiments/perf_padded_residency.py)
-    # and is bit-exact.  The MLP runs the pad rows (5.6% extra GEMM rows
-    # at ViT-B) but that is cheaper than 24 HBM pad/slice copies.
+    # Padded residency: produce/pad the token tensor ONCE in the sublane-
+    # padded layout and keep it across all blocks (n_valid masks the pad
+    # keys) instead of letting every fused kernel pad/slice per layer —
+    # saves ~0.4 ms/step at ViT-B/16 b64
+    # (experiments/perf_padded_residency.py) and is bit-exact.  The MLP
+    # runs the pad rows (5.6% extra GEMM rows at ViT-B) but that is
+    # cheaper than 24 HBM pad/slice copies.
     n = cfg.seq_len
     from ..ops.common import round_up
     sub = 16 if dt == jnp.bfloat16 else 8
     n_pad = round_up(n, sub)
-    if n_pad != n:
-        x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+
+    if (jax.default_backend() == "tpu"
+            and cfg.attn_impl in ("auto", "pallas")):
+        x = _fused_embed(params, images, cfg, n_pad)
+    else:
+        x = patchify(images.astype(dt), cfg.patch_size)
+        x = x @ params["patch_embed"]["kernel"].astype(dt)
+        x = x + params["patch_embed"]["bias"].astype(dt)
+        b = x.shape[0]
+        cls = jnp.broadcast_to(params["cls_token"].astype(dt),
+                               (b, 1, cfg.hidden_dim))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + params["pos_embed"].astype(dt)
+        if n_pad != n:
+            x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
 
     block_fn = partial(_block, cfg=cfg, n_valid=n)
     if cfg.remat:

@@ -64,6 +64,87 @@ def patch_embed_xla(images_u8: jax.Array, kernel_f: jax.Array,
     return (x @ kernel_f + bias_f).astype(out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# Fused token-assembly embed (round 2): one kernel turns the patch matrix
+# into the PADDED token tensor the padded-residency encoder consumes —
+# GEMM + bias + positional embedding + CLS row + tail zeros in one pass,
+# replacing XLA's embed-GEMM -> concat(cls) -> +pos -> pad chain (each a
+# full HBM round-trip over the ~20 MB token tensor at ViT-B b64).
+#
+# The CLS row needs no in-kernel concat: the caller pads the patch matrix
+# with a leading zero row (fused into patchify's transpose copy by XLA)
+# and folds cls_token+pos[0] into row 0 of a (n_pad, D) "posb" table —
+# row 0 of the GEMM output is 0, so adding the table plants the CLS row;
+# the GEMM bias is folded into the table's patch rows; tail rows are 0.
+# ---------------------------------------------------------------------------
+
+
+def _embed_tokens_kernel(p_ref, k_ref, pb_ref, o_ref):
+    acc = jnp.dot(p_ref[0], k_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0] = (acc + pb_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def embed_tokens_pallas(patches_padded: jax.Array, kernel: jax.Array,
+                        posb: jax.Array, interpret: bool = False):
+    """(B, n_pad, P*P*3) zero-row-0 patches -> (B, n_pad, D) tokens.
+
+    ``posb`` is the (n_pad, D) f32 fold of bias/cls/pos described above.
+    Output dtype follows ``kernel``'s dtype (the compute dtype).
+    """
+    b, n_pad, p3 = patches_padded.shape
+    d = kernel.shape[-1]
+    out = pl.pallas_call(
+        _embed_tokens_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, p3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p3, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), kernel.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_pad * p3 * d,
+            bytes_accessed=(b * n_pad * (p3 + d)
+                            * patches_padded.dtype.itemsize),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(patches_padded, kernel, posb.astype(jnp.float32))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def embed_tokens(patches_padded, kernel, posb):
+    """Differentiable fused embed: Pallas forward, XLA backward."""
+    return embed_tokens_pallas(patches_padded, kernel, posb)
+
+
+def _embed_tokens_ref(patches_padded, kernel, posb):
+    acc = jnp.einsum("bnp,pd->bnd", patches_padded, kernel,
+                     preferred_element_type=jnp.float32)
+    return (acc + posb.astype(jnp.float32)).astype(kernel.dtype)
+
+
+def _embed_tokens_fwd(patches_padded, kernel, posb):
+    return embed_tokens_pallas(patches_padded, kernel, posb), (
+        patches_padded, kernel, posb)
+
+
+def _embed_tokens_bwd(res, g):
+    _, vjp = jax.vjp(_embed_tokens_ref, *res)
+    return vjp(g)
+
+
+embed_tokens.defvjp(_embed_tokens_fwd, _embed_tokens_bwd)
+
+
 def _pe_kernel(img_ref, k_ref, b_ref, o_ref, *, patch: int, gw: int,
                d_model: int):
     """One (image, patch-row) cell.
