@@ -48,6 +48,7 @@ program the reference dispatched but never shipped (SURVEY.md §2.2 item 4;
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -161,26 +162,50 @@ def _attn_block_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wo_ref,
 
     # Attention per image, phase-split in head groups of n_sc: all QK^T
     # of the group first (MXU), then softmax+PV per head (VPU feeds MXU).
+    # Softmax diet (~0.15 ms / 12 layers at ViT-B b64, measured in
+    # experiments/perf_attn_softmax2.py):
+    #   * the 1/sqrt(dh) scale rides the small (n_pad, dh) q tile — 16x
+    #     cheaper than scaling the score tile, exact for pow2 dh;
+    #   * the pad-key mask is a (1, kv_pad) column-bias vector built ONCE
+    #     per cell and broadcast-added per head (one fused pass) instead
+    #     of per-head iota + where (two passes) — same exact -inf
+    #     semantics, so no denominator tricks with cancellation hazards;
+    #   * the normalizing divide moves AFTER PV: a (n_pad, dh) broadcast
+    #     multiply instead of a (n_pad, kv_pad) one.
+    if n_valid < kv_pad:
+        coli = jax.lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
+        colbias = jnp.where(coli < n_valid, 0.0, _NEG_INF)
+    else:
+        colbias = None
+    # q-tile scaling is only lossless when scale is a power of two (or
+    # activations are f32); otherwise keep the f32 post-GEMM scale.
+    q_scaled = (x.dtype != jnp.bfloat16
+                or math.frexp(scale)[0] == 0.5)
     for b in range(imgs):
         for g in range(0, n_heads, n_sc):
             heads = range(g, min(g + n_sc, n_heads))
             for h in heads:
                 q = qkv_ref[b, :n_pad, h * dh:(h + 1) * dh]
+                if q_scaled:
+                    q = q * x.dtype.type(scale)
                 k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
                 scores_ref[h - g] = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32)
             for h in heads:
                 s = scores_ref[h - g]
-                if n_valid < kv_pad:
-                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                    s = jnp.where(col < n_valid, s, _NEG_INF)
+                if not q_scaled:
+                    s = s * scale
+                if colbias is not None:
+                    s = s + colbias
                 m = jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s - m)
-                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+                denom = jnp.sum(e, axis=-1, keepdims=True)
                 v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
                 pv = jnp.dot(
-                    p, v, preferred_element_type=jnp.float32).astype(x.dtype)
+                    e.astype(x.dtype), v,
+                    preferred_element_type=jnp.float32)
+                pv = (pv * jax.lax.reciprocal(denom)).astype(x.dtype)
                 if ao_ref is not None:
                     ao_ref[b * n_pad:(b + 1) * n_pad,
                            h * dh:(h + 1) * dh] = pv
