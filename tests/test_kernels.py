@@ -142,6 +142,26 @@ def test_attn_block_plan_variants_match():
         ab.attn_plan = orig
 
 
+def test_attn_block_lane_aligned_seq():
+    """seq == kv_pad exactly (no pad keys): the maskless colbias=None
+    branch must still match the XLA reference."""
+    from vit_fpga_tpu.ops import attn_block as ab
+    rng = np.random.default_rng(9)
+    B, N, D, H = 2, 128, 64, 2
+    x = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    ls = jnp.asarray(rng.normal(size=(D,)) + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    wq = jnp.asarray(rng.normal(size=(D, 3 * D)) * 0.1, jnp.float32)
+    bq = jnp.asarray(rng.normal(size=(3 * D,)), jnp.float32)
+    wo = jnp.asarray(rng.normal(size=(D, D)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    ref = ab.attn_block_xla(x, ls, lb, wq, bq, wo, bo, H)
+    got = ab.attn_block_pallas(x, ls, lb, wq, bq, wo, bo, H,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_attn_plan_geometries():
     """The tier planner picks the measured-best tier per geometry."""
     from vit_fpga_tpu.ops.attn_block import attn_plan

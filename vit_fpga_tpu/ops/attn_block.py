@@ -59,6 +59,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
 
 _NEG_INF = -1e30
+# max-free softmax clip window (see _attn_block_kernel): exp must not
+# overflow f32 (88) and must keep >= one valid key above underflow
+_EXP_LO, _EXP_HI = -70.0, 80.0
 
 
 def _sublane(dtype) -> int:
@@ -196,10 +199,20 @@ def _attn_block_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wo_ref,
                 s = scores_ref[h - g]
                 if not q_scaled:
                     s = s * scale
+                # Max-free softmax: exp(clip(s)) drops the per-row max
+                # reduce + subtract (+0.33 ms / 12 layers measured,
+                # experiments/perf_attn_softmax3.py).  softmax is shift-
+                # invariant, so skipping the shift is exact as long as
+                # exp neither overflows (s <= 80; f32 overflows at 88)
+                # nor fully underflows (some valid s >= -70).  Trained
+                # ViT logits live in ~[-40, 40]; the clip makes the
+                # out-of-range failure mode graceful (saturated weights)
+                # instead of inf/NaN.  Keys below the clip floor carry
+                # e^-70 ~ 4e-31 weight — zero at f32 for any normal row.
+                s = jnp.clip(s, _EXP_LO, _EXP_HI)
                 if colbias is not None:
                     s = s + colbias
-                m = jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp(s - m)
+                e = jnp.exp(s)
                 denom = jnp.sum(e, axis=-1, keepdims=True)
                 v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
                 pv = jnp.dot(
