@@ -64,6 +64,7 @@ def main(argv):
     from vit_fpga_tpu.utils.timing import time_device_loop
 
     is_clip = model.startswith("clip_")
+    is_deit = model.startswith("deit_")
     if is_clip:
         from vit_fpga_tpu.models import clip
         cfg = clip.clip_vision_config(model.removeprefix("clip_"),
@@ -71,6 +72,11 @@ def main(argv):
                                       attn_impl=attn)
         params = jax.device_put(
             clip.init_params(jax.random.key(0), cfg, projection_dim=768))
+    elif is_deit:
+        from vit_fpga_tpu.models import deit
+        cfg = deit.config(model, image_size=image, dtype=dtype,
+                          attn_impl=attn)
+        params = jax.device_put(deit.init_params(jax.random.key(0), cfg))
     else:
         cfg = vit.config(model, image_size=image, dtype=dtype,
                          attn_impl=attn)
@@ -95,6 +101,11 @@ def main(argv):
 
             def fwd(p, x):
                 return _clip.forward(p, x, cfg)
+        elif is_deit:
+            from vit_fpga_tpu.models import deit as _deit
+
+            def fwd(p, x):
+                return _deit.forward(p, x, cfg)
         else:
             def fwd(p, x):
                 return vit.forward(p, x, cfg)

@@ -52,6 +52,10 @@ class ViTConfig:
     dtype: str = "bfloat16"          # compute dtype; params stay f32
     attn_impl: str = "auto"          # auto | pallas | xla
     pool: str = "cls"                # cls | gap
+    # Prefix (non-patch) tokens prepended to the sequence: 1 = CLS only
+    # (ViT), 2 = CLS + distillation token (DeiT; models/deit.py).  All
+    # prefix embeddings live in params["cls_token"] (1, P, D).
+    num_prefix_tokens: int = 1
     hidden_act: str = "gelu"         # gelu (erf) | gelu_tanh | quick_gelu
     mlp_impl: str = "auto"           # auto | pallas (fused) | xla
     remat: bool = False              # jax.checkpoint each block (training)
@@ -75,7 +79,7 @@ class ViTConfig:
 
     @property
     def seq_len(self) -> int:
-        return self.n_patches + 1  # + CLS
+        return self.n_patches + self.num_prefix_tokens
 
     @property
     def head_dim(self) -> int:
@@ -130,7 +134,7 @@ def init_params(key: jax.Array, cfg: ViTConfig) -> Params:
     return {
         "patch_embed": {"kernel": tn(ks[0], (p3, d)),
                         "bias": jnp.zeros((d,), jnp.float32)},
-        "cls_token": jnp.zeros((1, 1, d), jnp.float32),
+        "cls_token": jnp.zeros((1, cfg.num_prefix_tokens, d), jnp.float32),
         "pos_embed": tn(ks[1], (1, cfg.seq_len, d)),
         "blocks": {
             "ln1_scale": jnp.ones((l, d), jnp.float32),
@@ -166,9 +170,10 @@ def interpolate_pos_embed(params: Params, old_image_size: int,
         return params
     old_g = old_image_size // patch_size
     new_g = new_image_size // patch_size
-    pos = params["pos_embed"]          # (1, old_g^2 + 1, D)
+    pos = params["pos_embed"]          # (1, old_g^2 + P, D)
     d = pos.shape[-1]
-    cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
+    npre = params["cls_token"].shape[1]
+    cls_pos, grid_pos = pos[:, :npre], pos[:, npre:]
     grid = grid_pos.reshape(1, old_g, old_g, d).astype(jnp.float32)
     grid = jax.image.resize(grid, (1, new_g, new_g, d), method="cubic")
     new_pos = jnp.concatenate(
@@ -331,23 +336,25 @@ def _fused_embed(params: Params, images: jax.Array, cfg: ViTConfig,
                  n_pad: int) -> jax.Array:
     """Images -> PADDED (B, n_pad, D) tokens via one Pallas kernel.
 
-    GEMM + bias + pos-embed + CLS row + tail zeros fuse into a single
+    GEMM + bias + pos-embed + prefix rows + tail zeros fuse into a single
     pass (ops/patch_embed.embed_tokens); XLA's equivalent chain costs
-    three extra HBM round-trips over the token tensor.  The CLS row
-    rides a folded (n_pad, D) table — see ops/patch_embed.py."""
+    three extra HBM round-trips over the token tensor.  The prefix
+    (CLS/distill) rows ride a folded (n_pad, D) table — see
+    ops/patch_embed.py."""
     from ..ops.patch_embed import embed_tokens
     dt = cfg.compute_dtype
     n, d = cfg.seq_len, cfg.hidden_dim
-    p = patchify(images.astype(dt), cfg.patch_size)       # (B, N-1, P²3)
-    # leading zero row (CLS slot) + tail pad rows; XLA fuses this pad
-    # into patchify's transpose copy
-    pp = jnp.pad(p, [(0, 0), (1, n_pad - n), (0, 0)])
+    npre = cfg.num_prefix_tokens
+    p = patchify(images.astype(dt), cfg.patch_size)       # (B, N-P, P²3)
+    # leading zero rows (prefix slots) + tail pad rows; XLA fuses this
+    # pad into patchify's transpose copy
+    pp = jnp.pad(p, [(0, 0), (npre, n_pad - n), (0, 0)])
     pos = params["pos_embed"][0].astype(jnp.float32)      # (N, D)
     bias = params["patch_embed"]["bias"].astype(jnp.float32)
-    cls = params["cls_token"][0, 0].astype(jnp.float32)
+    pre = params["cls_token"][0].astype(jnp.float32)      # (P, D)
     posb = jnp.concatenate([
-        (cls + pos[0])[None],                              # CLS row
-        pos[1:] + bias,                                    # patch rows
+        pre + pos[:npre],                                  # prefix rows
+        pos[npre:] + bias,                                 # patch rows
         jnp.zeros((n_pad - n, d), jnp.float32),            # tail
     ], axis=0)
     return embed_tokens(pp, params["patch_embed"]["kernel"].astype(dt),
@@ -381,7 +388,7 @@ def _forward_features(params: Params, images: jax.Array,
         x = x + params["patch_embed"]["bias"].astype(dt)
         b = x.shape[0]
         cls = jnp.broadcast_to(params["cls_token"].astype(dt),
-                               (b, 1, cfg.hidden_dim))
+                               (b, cfg.num_prefix_tokens, cfg.hidden_dim))
         x = jnp.concatenate([cls, x], axis=1)
         x = x + params["pos_embed"].astype(dt)
         if n_pad != n:
@@ -434,7 +441,7 @@ def forward(params: Params, images: jax.Array, cfg: ViTConfig) -> jax.Array:
         elif cfg.pool == "gap":
             feats = _layernorm(toks, params["ln_f_scale"],
                                params["ln_f_bias"], cfg.ln_eps)
-            pooled = feats[:, 1:].mean(axis=1)
+            pooled = feats[:, cfg.num_prefix_tokens:].mean(axis=1)
         else:
             raise ValueError(f"unknown pool {cfg.pool!r}")
         logits = (pooled.astype(jnp.float32) @ params["head"]["kernel"]
@@ -473,7 +480,7 @@ def forward_latency(params: Params, images: jax.Array,
         x = x + params["patch_embed"]["bias"].astype(dt)
         b = x.shape[0]
         cls = jnp.broadcast_to(params["cls_token"].astype(dt),
-                               (b, 1, cfg.hidden_dim))
+                               (b, cfg.num_prefix_tokens, cfg.hidden_dim))
         x = jnp.concatenate([cls, x], axis=1)
         x = x + params["pos_embed"].astype(dt)
         act = cfg.hidden_act

@@ -32,6 +32,7 @@ datapath the reference's FPGA bitstream advertised (SURVEY.md §2.2 item 4).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,7 @@ from .common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
 from .quant_fused import QMAX
 
 _NEG_INF = -1e30
+_EXP_LO, _EXP_HI = -70.0, 80.0   # max-free softmax window (attn_block.py)
 
 
 def _row_quant(xf):
@@ -185,27 +187,38 @@ def _attn_int8_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         else:
             qkv_ref[b] = qkv[b * n_pad:(b + 1) * n_pad]
 
+    # Softmax diet + max-free softmax, same design as attn_block.py
+    if n_valid < kv_pad:
+        coli = jax.lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
+        colbias = jnp.where(coli < n_valid, 0.0, _NEG_INF)
+    else:
+        colbias = None
+    q_scaled = (x.dtype != jnp.bfloat16 or math.frexp(scale)[0] == 0.5)
     for b in range(imgs):
         for g in range(0, n_heads, n_sc):
             heads = range(g, min(g + n_sc, n_heads))
             for h in heads:
                 q = qkv_ref[b, :n_pad, h * dh:(h + 1) * dh]
+                if q_scaled:
+                    q = q * x.dtype.type(scale)
                 k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
                 scores_ref[h - g] = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32)
             for h in heads:
                 s = scores_ref[h - g]
-                if n_valid < kv_pad:
-                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                    s = jnp.where(col < n_valid, s, _NEG_INF)
-                m = jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp(s - m)
-                p = (e / jnp.sum(e, axis=-1,
-                                 keepdims=True)).astype(x.dtype)
+                if not q_scaled:
+                    s = s * scale
+                s = jnp.clip(s, _EXP_LO, _EXP_HI)
+                if colbias is not None:
+                    s = s + colbias
+                e = jnp.exp(s)
+                denom = jnp.sum(e, axis=-1, keepdims=True)
                 v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
                 pv = jnp.dot(
-                    p, v, preferred_element_type=jnp.float32).astype(x.dtype)
+                    e.astype(x.dtype), v,
+                    preferred_element_type=jnp.float32)
+                pv = (pv * jax.lax.reciprocal(denom)).astype(x.dtype)
                 if ao_ref is not None:
                     ao_ref[b * n_pad:(b + 1) * n_pad,
                            h * dh:(h + 1) * dh] = pv

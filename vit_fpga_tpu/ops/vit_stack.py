@@ -18,6 +18,7 @@ design (latency mode, b*seq tokens VMEM-resident).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
 
 _NEG_INF = -1e30
+_EXP_LO, _EXP_HI = -70.0, 80.0   # max-free softmax window (attn_block.py)
 
 
 def _stack_kernel(x_ref, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
@@ -57,28 +59,41 @@ def _stack_kernel(x_ref, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
             qkv_s[b, n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d), x.dtype)
         else:
             qkv_s[b] = qkv[b * n_pad:(b + 1) * n_pad]
+    # Softmax diet + max-free softmax, same design as attn_block.py
+    # (colbias mask in one fused pass, pow2 scale on the q tile,
+    # exp(clip(s)) with no per-row max reduce, divide after PV).
+    if n_valid < kv_pad:
+        coli = jax.lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
+        colbias = jnp.where(coli < n_valid, 0.0, _NEG_INF)
+    else:
+        colbias = None
+    q_scaled = (x.dtype != jnp.bfloat16 or math.frexp(scale)[0] == 0.5)
     for b in range(batch):
         for g in range(0, n_heads, n_sc):
             heads = range(g, min(g + n_sc, n_heads))
             for h in heads:
                 q = qkv_s[b, :n_pad, h * dh:(h + 1) * dh]
+                if q_scaled:
+                    q = q * x.dtype.type(scale)
                 k = qkv_s[b, :, d + h * dh:d + (h + 1) * dh]
                 sc[h - g] = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32)
             for h in heads:
                 s = sc[h - g]
-                if n_valid < kv_pad:
-                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                    s = jnp.where(col < n_valid, s, _NEG_INF)
-                m = jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp(s - m)
-                p = (e / jnp.sum(e, axis=-1,
-                                 keepdims=True)).astype(x.dtype)
+                if not q_scaled:
+                    s = s * scale
+                s = jnp.clip(s, _EXP_LO, _EXP_HI)
+                if colbias is not None:
+                    s = s + colbias
+                e = jnp.exp(s)
+                denom = jnp.sum(e, axis=-1, keepdims=True)
                 v = qkv_s[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+                pv = jnp.dot(e.astype(x.dtype), v,
+                             preferred_element_type=jnp.float32)
                 ao[b * n_pad:(b + 1) * n_pad,
-                   h * dh:(h + 1) * dh] = jnp.dot(
-                    p, v, preferred_element_type=jnp.float32).astype(x.dtype)
+                   h * dh:(h + 1) * dh] = (
+                    pv * jax.lax.reciprocal(denom)).astype(x.dtype)
     y = jnp.dot(ao[:], wo[0], preferred_element_type=jnp.float32) + bo[0]
     xa = x + y.astype(x.dtype)
 
@@ -242,24 +257,35 @@ def _stack_int8_kernel(x_ref, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
             qkv_s[b, n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d), x.dtype)
         else:
             qkv_s[b] = qkv[b * n_pad:(b + 1) * n_pad]
+    if n_valid < kv_pad:
+        coli = jax.lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
+        colbias = jnp.where(coli < n_valid, 0.0, _NEG_INF)
+    else:
+        colbias = None
+    q_scaled = (x.dtype != jnp.bfloat16 or math.frexp(scale)[0] == 0.5)
     for b in range(batch):
         for h in range(n_heads):
             q = qkv_s[b, :n_pad, h * dh:(h + 1) * dh]
+            if q_scaled:
+                q = q * x.dtype.type(scale)
             k = qkv_s[b, :, d + h * dh:d + (h + 1) * dh]
             sc[h] = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32)
         for h in range(n_heads):
             s = sc[h]
-            if n_valid < kv_pad:
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col < n_valid, s, _NEG_INF)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+            if not q_scaled:
+                s = s * scale
+            s = jnp.clip(s, _EXP_LO, _EXP_HI)
+            if colbias is not None:
+                s = s + colbias
+            e = jnp.exp(s)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
             v = qkv_s[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-            ao[b * n_pad:(b + 1) * n_pad, h * dh:(h + 1) * dh] = jnp.dot(
-                p, v, preferred_element_type=jnp.float32).astype(x.dtype)
+            pv = jnp.dot(e.astype(x.dtype), v,
+                         preferred_element_type=jnp.float32)
+            ao[b * n_pad:(b + 1) * n_pad, h * dh:(h + 1) * dh] = (
+                pv * jax.lax.reciprocal(denom)).astype(x.dtype)
     aoq, sa = _row_quant(ao[:].astype(jnp.float32))
     acc_o = jax.lax.dot_general(aoq, wo[0], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
