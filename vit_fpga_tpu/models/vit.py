@@ -265,16 +265,28 @@ def _block(x, blk, cfg: ViTConfig, n_valid: int | None = None):
 
     mlp_impl = cfg.mlp_impl
     n_chunks = 1
+    mlp_vmem = 0
     if mlp_impl == "auto":
-        # auto picks the fused kernel only when w1+w2 fit VMEM unchunked.
-        # The chunked variant wins standalone (0.738 vs 0.772 ms at
-        # ViT-L@384) but LOSES in the full model (43.45 vs 41.26 ms —
-        # its HBM accumulator round-trip fights the neighboring kernels'
-        # pipelining), so big models default to XLA; mlp_impl="pallas"
-        # still selects the chunked kernel explicitly.
-        from ..ops.fused_mlp import mlp_weight_chunks
+        # auto picks the fused kernel when w1+w2 fit VMEM unchunked —
+        # under the default plan, or (bf16 mid-size geometries: CLIP-L,
+        # ViT-L) under the raised 48 MB plan, which measured faster than
+        # both the chunked kernel and XLA
+        # (experiments/perf_mlp_unchunked.py).  The chunked variant wins
+        # standalone (0.738 vs 0.772 ms at ViT-L@384) but LOSES in the
+        # full model (43.45 vs 41.26 ms — its HBM accumulator round-trip
+        # fights the neighboring kernels' pipelining), so oversize models
+        # (ViT-H) default to XLA; mlp_impl="pallas" still selects the
+        # chunked kernel explicitly.
+        from ..ops.fused_mlp import (MLP_BIG_VMEM, mlp_fits_raised,
+                                     mlp_weight_chunks)
         itemsize = 2 if cfg.dtype == "bfloat16" else 4
         n_chunks = mlp_weight_chunks(cfg.hidden_dim, cfg.mlp_dim, itemsize)
+        # The raised plan only wins when enough token rows amortize it:
+        # CLIP-L b256 (70k rows) 866 -> 1011 img/s, but ViT-L@384 b16
+        # (9.5k rows) 411 -> 396 — small sweeps keep the XLA path.
+        if (n_chunks > 1 and itemsize == 2 and b * n >= 32768
+                and mlp_fits_raised(cfg.hidden_dim, cfg.mlp_dim, itemsize)):
+            n_chunks, mlp_vmem = 1, MLP_BIG_VMEM
         mlp_impl = ("pallas" if jax.default_backend() == "tpu"
                     and n_chunks == 1 else "xla")
     elif mlp_impl == "pallas":
@@ -299,7 +311,7 @@ def _block(x, blk, cfg: ViTConfig, n_valid: int | None = None):
             x2 = fused_mlp(
                 x.reshape(b * n, d), blk["ln2_scale"], blk["ln2_bias"],
                 blk["w1"].astype(dt), blk["b1"], blk["w2"].astype(dt),
-                blk["b2"], cfg.ln_eps, act_name)
+                blk["b2"], cfg.ln_eps, act_name, mlp_vmem)
         return x2.reshape(b, n, d)
     h = _layernorm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
     h = h @ blk["w1"].astype(dt) + blk["b1"].astype(dt)

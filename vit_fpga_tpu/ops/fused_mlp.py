@@ -56,10 +56,11 @@ def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
-                                             "interpret"))
+                                             "vmem_limit", "interpret"))
 def fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
                      eps: float = 1e-6, act: str = "gelu",
-                     block_t: int = 512, interpret: bool = False):
+                     block_t: int = 512, vmem_limit: int = 0,
+                     interpret: bool = False):
     """x: (T, D) tokens. Returns x + MLP(LN(x)), matching the model block.
 
     block_t=512 measured fastest at ViT-B geometry on v5e (185 vs 172 TF/s
@@ -67,6 +68,10 @@ def fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
     pipelining).  Mosaic streams the (block_t, M) f32 hidden tile through
     the activation without materializing it, so the VMEM high-water mark
     stays well under the limit even at 512.
+
+    ``vmem_limit`` > 0 raises the compiler's scoped-VMEM plan (a default,
+    not hardware — see ops/attn_block.py) so geometries whose w1+w2
+    exceed the 16 MB budget (CLIP-L, ViT-L) can still run unchunked.
     """
     t, d = x.shape
     m = w1.shape[1]
@@ -101,7 +106,8 @@ def fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
             bytes_accessed=(2 * tp * d + 2 * d * m) * x.dtype.itemsize,
             transcendentals=tp * m),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            **({"vmem_limit_bytes": vmem_limit} if vmem_limit else {})),
         interpret=interpret,
     )(x, ln_scale.reshape(1, -1).astype(jnp.float32),
       ln_bias.reshape(1, -1).astype(jnp.float32),
@@ -188,6 +194,21 @@ def fused_mlp_chunked_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
     return acc[:t]
 
 
+# Raised scoped-VMEM plan for the unchunked kernel at big-weight
+# geometries (CLIP-L/ViT-L: 16.8 MB of weights).  Measured: unchunked
+# @48MB beats the chunked kernel AND the XLA fallback at CLIP-L rows
+# (0.75 vs 0.85 ms per 32-img slice, experiments/perf_mlp_unchunked.py);
+# ViT-H's 26 MB showed no win — keep its XLA path.
+MLP_BIG_VMEM = 48 * 1024 * 1024
+MLP_BIG_WEIGHT_LIMIT = 20 * 1024 * 1024
+
+
+def mlp_fits_raised(d: int, m: int, itemsize: int) -> bool:
+    """True when w1+w2 exceed the default budget but fit the raised plan
+    (and the raised plan measured faster than chunked/XLA)."""
+    return 2 * d * m * itemsize <= MLP_BIG_WEIGHT_LIMIT
+
+
 def mlp_weight_chunks(d: int, m: int, itemsize: int,
                       budget: int = 11 * 1024 * 1024) -> int:
     """Smallest power-of-two chunk count whose per-chunk weights fit the
@@ -200,9 +221,9 @@ def mlp_weight_chunks(d: int, m: int, itemsize: int,
     return 0
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float,
-              act: str):
+              act: str, vmem_limit: int = 0):
     """Differentiable fused MLP: Pallas forward, XLA-recompute backward.
 
     The backward pass re-runs the (autodiff-able) XLA reference and pulls
@@ -210,15 +231,16 @@ def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float,
     forward, and the backward is exactly XLA's gradient graph.
     """
     return fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
-                            eps=eps, act=act)
+                            eps=eps, act=act, vmem_limit=vmem_limit)
 
 
-def _fused_mlp_fwd(x, s, b, w1, b1, w2, b2, eps, act):
-    out = fused_mlp_pallas(x, s, b, w1, b1, w2, b2, eps=eps, act=act)
+def _fused_mlp_fwd(x, s, b, w1, b1, w2, b2, eps, act, vmem_limit):
+    out = fused_mlp_pallas(x, s, b, w1, b1, w2, b2, eps=eps, act=act,
+                           vmem_limit=vmem_limit)
     return out, (x, s, b, w1, b1, w2, b2)
 
 
-def _fused_mlp_bwd(eps, act, res, g):
+def _fused_mlp_bwd(eps, act, vmem_limit, res, g):
     x, s, b, w1, b1, w2, b2 = res
     if jax.default_backend() == "tpu" and act in ("gelu_tanh",
                                                   "quick_gelu", "relu"):
