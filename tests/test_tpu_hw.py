@@ -206,7 +206,7 @@ def test_pjrt_native_client_on_hw(tmp_path):
                TPU_WORKER_HOSTNAMES=os.environ.get(
                    "TPU_WORKER_HOSTNAMES", "localhost"))
     run = subprocess.run([demo, f"model={out}", "iters=2"], env=env,
-                         capture_output=True, text=True, timeout=600)
+                         capture_output=True, text=True, timeout=900)
     assert run.returncode == 0, run.stderr[-2000:]
     assert "PJRT NATIVE DEMO OK" in run.stdout
 
@@ -284,7 +284,7 @@ def test_pjrt_native_dense_and_filter_on_hw(tmp_path):
 
     # dense: same deterministic input as the demo binary
     run = subprocess.run([demo, f"model={dense_dir}", "iters=1"], env=env,
-                         capture_output=True, text=True, timeout=600)
+                         capture_output=True, text=True, timeout=900)
     assert run.returncode == 0, run.stderr[-2000:]
     x = (((np.arange(784, dtype=np.uint64) * 2654435761) >> np.uint64(24))
          .astype(np.float32) / 255.0)
@@ -293,7 +293,7 @@ def test_pjrt_native_dense_and_filter_on_hw(tmp_path):
 
     # filter: bit-exact checksum vs the numpy oracle
     run = subprocess.run([demo, f"model={filt_dir}", "iters=1"], env=env,
-                         capture_output=True, text=True, timeout=600)
+                         capture_output=True, text=True, timeout=900)
     assert run.returncode == 0, run.stderr[-2000:]
     n = 256 * 384
     i = np.arange(n, dtype=np.uint64)
