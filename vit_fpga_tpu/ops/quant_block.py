@@ -56,8 +56,11 @@ def _row_quant(xf):
 
 def _ln_f32(x, s_ref, b_ref, eps):
     xf = x.astype(jnp.float32)
+    # one-pass variance (E[x^2] - mu^2), clamped on the tiny stats
+    # vector — saves a full traversal of xf (see ops/attn_block.py)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
     return (xf - mu) * jax.lax.rsqrt(var + eps) * s_ref[0] + b_ref[0]
 
 
@@ -175,17 +178,21 @@ def _attn_int8_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
 
     xn = _ln_f32(x, ls_ref, lb_ref, eps)
     xq, sx = _row_quant(xn)
-    acc = jax.lax.dot_general(xq, wqkv_ref[:], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    qkv = (acc.astype(jnp.float32) * (sx * sqkv_ref[0])
-           + bqkv_ref[0]).astype(x.dtype)
+    # per-image GEMMs write straight into the K/V panel (no (rows, 3d)
+    # intermediate + copy; see ops/attn_block.py)
     for b in range(imgs):
+        r0, r1 = b * n_pad, (b + 1) * n_pad
+        acc = jax.lax.dot_general(xq[r0:r1], wqkv_ref[:],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        qkv_b = (acc.astype(jnp.float32) * (sx[r0:r1] * sqkv_ref[0])
+                 + bqkv_ref[0]).astype(x.dtype)
         if kv_pad != n_pad:
-            qkv_ref[b, :n_pad] = qkv[b * n_pad:(b + 1) * n_pad]
+            qkv_ref[b, :n_pad] = qkv_b
             qkv_ref[b, n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d),
                                            x.dtype)
         else:
-            qkv_ref[b] = qkv[b * n_pad:(b + 1) * n_pad]
+            qkv_ref[b] = qkv_b
 
     # Softmax diet + max-free softmax, same design as attn_block.py
     if n_valid < kv_pad:
