@@ -278,3 +278,39 @@ def test_embed_tokens_matches_ref_and_model_embed():
     for a, b in zip(g_ref, g_fused):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_attn_block_large_logits_parity():
+    """Max-free softmax (exp(clip(s)) with no row-max subtract) must stay
+    exact at trained-model logit magnitudes (|s| up to ~40): crank the
+    qk weights so scores span +-40 and compare against the max-subtract
+    XLA reference."""
+    from vit_fpga_tpu.ops import attn_block as ab
+    rng = np.random.default_rng(11)
+    B, N, D, H = 2, 29, 64, 2
+    x = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    ls = jnp.asarray(np.abs(rng.normal(size=(D,))) + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+    # big qk scale -> logits span ~+-47, inside the exp-clip window
+    # [-70, 80] (at 0.45 they hit ~150 and the clip saturates by design)
+    wq = jnp.asarray(rng.normal(size=(D, 3 * D)) * 0.25, jnp.float32)
+    bq = jnp.asarray(rng.normal(size=(3 * D,)) * 0.1, jnp.float32)
+    wo = jnp.asarray(rng.normal(size=(D, D)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+    ref = np.asarray(ab.attn_block_xla(x, ls, lb, wq, bq, wo, bo, H),
+                     np.float32)
+    # sanity: the scenario actually produces large logits
+    xf = np.asarray(x, np.float32)
+    mu = xf.mean(-1, keepdims=True)
+    xn = (xf - mu) / np.sqrt(xf.var(-1, keepdims=True) + 1e-6)
+    xn = xn * np.asarray(ls) + np.asarray(lb)
+    qkv = xn @ np.asarray(wq) + np.asarray(bq)
+    q, k = qkv[..., :D], qkv[..., D:2 * D]
+    s_mag = np.abs(q[:, :, :32] @ k[:, :, :32].transpose(0, 2, 1)
+                   / np.sqrt(32)).max()
+    assert 20 < s_mag < 70, s_mag
+    got = ab.attn_block_pallas(x, ls, lb, wq, bq, wo, bo, H,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4,
+                               atol=2e-4)
+    assert np.isfinite(np.asarray(got)).all()
