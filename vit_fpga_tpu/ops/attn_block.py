@@ -82,7 +82,8 @@ class AttnPlan(NamedTuple):
 def attn_plan(n_heads: int, d: int, n_pad: int, kv_pad: int,
               itemsize: int, batch: int = 1,
               budget: int = 13 * 1024 * 1024,
-              weight_itemsize: int | None = None) -> AttnPlan:
+              weight_itemsize: int | None = None,
+              d_attn: int | None = None) -> AttnPlan:
     """Choose the VMEM tier (see module docstring) for this geometry.
 
     Tiers, in preference order:
@@ -94,15 +95,20 @@ def attn_plan(n_heads: int, d: int, n_pad: int, kv_pad: int,
               1.03 ms.
       big   — 1 image/cell, full slots + ao, vmem raised to 100MB.
               ViT-L@384: 0.829 ms.
+
+    ``d_attn`` is the attention width (n_heads*dh of the LOCAL head
+    group); it differs from the model width ``d`` only in the
+    tensor-parallel partial kernel (parallel/shard_model.py).
     """
+    da = d_attn if d_attn is not None else d
     # weights may be narrower than activations (int8 kernels: int8
     # weights, bf16 activations)
-    weights = (3 * d * d + d * d) * (weight_itemsize or itemsize)
+    weights = (3 * d * da + da * d) * (weight_itemsize or itemsize)
 
     def fixed(imgs):
-        panel = imgs * kv_pad * 3 * d * itemsize
+        panel = imgs * kv_pad * 3 * da * itemsize
         tiles = 4 * imgs * n_pad * d * itemsize   # in+out, double-buffered
-        ao = imgs * n_pad * d * itemsize
+        ao = imgs * n_pad * da * itemsize
         return weights + panel + tiles + ao
 
     slot = n_pad * kv_pad * 4
@@ -118,7 +124,7 @@ def attn_plan(n_heads: int, d: int, n_pad: int, kv_pad: int,
     if fixed(1) + slot <= budget:       # fast tier
         return AttnPlan(1, min(n_heads, (budget - fixed(1)) // slot),
                         False, 0)
-    ao1 = n_pad * d * itemsize
+    ao1 = n_pad * da * itemsize
     tight = budget + 1024 * 1024
     if fixed(1) - ao1 + slot <= tight:  # tight-eligible geometry
         # upgrade: 2-image cells + ao scratch under the raised plan beat
@@ -139,10 +145,11 @@ def _attn_block_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wo_ref,
                        bo_ref, o_ref, qkv_ref, scores_ref, *maybe_ao,
                        eps: float, scale: float, n_valid: int, n_pad: int,
                        kv_pad: int, n_heads: int, dh: int, n_sc: int,
-                       imgs: int):
+                       imgs: int, residual: bool = True):
     ao_ref = maybe_ao[0] if maybe_ao else None
-    d = n_heads * dh
-    x = x_ref[:].reshape(imgs * n_pad, d)
+    d = n_heads * dh            # attention width (= dm except under tp)
+    dm = x_ref.shape[-1]        # model width
+    x = x_ref[:].reshape(imgs * n_pad, dm)
 
     # LayerNorm (f32 statistics) + QKV projection on all imgs*n_pad rows
     # (one big MXU GEMM), written into the 128-aligned per-image K/V
@@ -240,19 +247,32 @@ def _attn_block_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wo_ref,
         src = qkv_ref[:, :n_pad, :d].reshape(imgs * n_pad, d)
     y = jnp.dot(src, wo_ref[:],
                 preferred_element_type=jnp.float32) + bo_ref[0]
-    o_ref[:] = (x + y.astype(x.dtype)).reshape(imgs, n_pad, d)
+    if residual:
+        y = x + y.astype(x.dtype)
+    else:
+        y = y.astype(x.dtype)   # tp partial output; psum + residual outside
+    o_ref[:] = y.reshape(imgs, n_pad, dm)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "n_valid",
-                                             "interpret"))
+                                             "residual", "interpret"))
 def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                       num_heads: int, eps: float = 1e-6,
                       n_valid: int | None = None,
+                      residual: bool = True,
                       interpret: bool = False):
     """x: (B, N, D) -> x + OutProj(MHA(QKV(LN(x)))). Weights any dtype
-    (cast to x.dtype); biases f32."""
+    (cast to x.dtype); biases f32.
+
+    The attention width may be NARROWER than the model width (wqkv
+    (D, 3*Da), wo (Da, D) with Da = local-head-group width): that is the
+    tensor-parallel partial kernel, which runs ``num_heads/tp`` heads per
+    device under shard_map and psums the partial out-projections
+    (parallel/shard_model.py).  ``residual=False`` returns just the
+    projected attention output so the psum + residual happen once."""
     b, n, d = x.shape
-    dh = d // num_heads
+    da = wqkv.shape[-1] // 3
+    dh = da // num_heads
     if n_valid is None:
         n_valid = n
     n_pad = round_up(n, _sublane(x.dtype))
@@ -260,7 +280,7 @@ def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
     if n_pad != n:
         x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
     plan = attn_plan(num_heads, d, n_pad, kv_pad, x.dtype.itemsize,
-                     batch=b)
+                     batch=b, d_attn=da)
     if plan.n_sc < 1:
         raise ValueError(
             f"attn_block does not fit VMEM at d={d}, seq={n}; "
@@ -275,28 +295,28 @@ def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                           scale=1.0 / (dh ** 0.5),
                           n_valid=min(n_valid, n), n_pad=n_pad,
                           kv_pad=kv_pad, n_heads=num_heads, dh=dh,
-                          n_sc=n_sc, imgs=imgs),
+                          n_sc=n_sc, imgs=imgs, residual=residual),
         grid=(b // imgs,),
         in_specs=[
             pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             const((1, d)), const((1, d)),
-            const((d, 3 * d)), const((1, 3 * d)),
-            const((d, d)), const((1, d)),
+            const((d, 3 * da)), const((1, 3 * da)),
+            const((da, d)), const((1, d)),
         ],
         out_specs=pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((imgs, kv_pad, 3 * d), x.dtype),
+            pltpu.VMEM((imgs, kv_pad, 3 * da), x.dtype),
             pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32),
         ] + ([] if plan.reuse_q
-             else [pltpu.VMEM((imgs * n_pad, d), x.dtype)]),
+             else [pltpu.VMEM((imgs * n_pad, da), x.dtype)]),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_pad * d * (3 * d + d)
+            flops=2 * b * n_pad * d * (3 * da + da)
             + 4 * b * num_heads * n_pad * kv_pad * dh,
             bytes_accessed=2 * b * n_pad * d * x.dtype.itemsize
-            + (4 * d * d + 3 * d * d) * 2,
+            + (3 * d * da + da * d) * 2,
             transcendentals=b * num_heads * n_pad * kv_pad),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),

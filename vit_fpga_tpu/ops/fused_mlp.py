@@ -40,7 +40,7 @@ def _act(h, kind: str):
 
 
 def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                o_ref, *, eps: float, act: str):
+                o_ref, *, eps: float, act: str, residual: bool = True):
     x = x_ref[:]
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -52,14 +52,18 @@ def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h = _act(h, act).astype(x.dtype)
     y = jnp.dot(h, w2_ref[:],
                 preferred_element_type=jnp.float32) + b2_ref[0]
-    o_ref[:] = x + y.astype(x.dtype)
+    # residual=False: tensor-parallel partial output (mlp_dim columns
+    # split across devices; psum + residual happen once, outside)
+    o_ref[:] = (x + y.astype(x.dtype)) if residual else y.astype(x.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
-                                             "vmem_limit", "interpret"))
+                                             "vmem_limit", "residual",
+                                             "interpret"))
 def fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
                      eps: float = 1e-6, act: str = "gelu",
                      block_t: int = 512, vmem_limit: int = 0,
+                     residual: bool = True,
                      interpret: bool = False):
     """x: (T, D) tokens. Returns x + MLP(LN(x)), matching the model block.
 
@@ -80,7 +84,7 @@ def fused_mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
         x = jnp.pad(x, ((0, tp - t), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, eps=eps, act=act),
+        functools.partial(_mlp_kernel, eps=eps, act=act, residual=residual),
         grid=(tp // block_t,),
         in_specs=[
             pl.BlockSpec((block_t, d), lambda i: (i, 0),

@@ -67,14 +67,15 @@ def make_vit_train_step(cfg: vit.ViTConfig, optimizer: optax.GradientTransformat
 
     if mesh is not None:
         import dataclasses
-        # Pallas custom calls are opaque to XLA's SPMD partitioner; with
-        # tp-sharded weights they would force gathers (or fail) rather
-        # than partition.  Mesh training therefore uses the XLA block
-        # implementations, which the partitioner splits exactly as the
-        # PartitionSpecs describe; wrap kernels in shard_map explicitly
-        # (parallel/shard_ops.py) if fused-kernel multi-chip training is
-        # wanted.  Single-device training keeps the fused kernels and
-        # their native backward kernels.
+        # This builder is the XLA-SPMD-partitioner path: the whole graph
+        # uses the XLA block implementations and the partitioner splits
+        # them per the PartitionSpecs (Pallas custom calls are opaque to
+        # it).  The FUSED multi-chip path — mega-kernels per shard under
+        # shard_map, Megatron tp with one psum per half — is
+        # parallel/shard_model.make_sharded_train_step; Trainer selects
+        # it by default when a mesh is given.  This path remains for
+        # sequence-parallel activation sharding and as the collective-
+        # layout oracle the fused path is parity-tested against.
         cfg = dataclasses.replace(cfg, attn_impl="xla", mlp_impl="xla")
     if sequence_parallel and mesh is not None:
         import dataclasses
@@ -117,19 +118,41 @@ def init_train_state(key: jax.Array, cfg: vit.ViTConfig,
 
 
 class Trainer:
-    """Minimal training loop for ViT classification."""
+    """Minimal training loop for ViT classification.
+
+    With a mesh, ``impl="auto"`` selects the FUSED multi-chip step
+    (parallel/shard_model.py: mega-kernels per shard under shard_map,
+    Megatron tp) and keeps the parameters in the tp layout;
+    ``impl="xla_spmd"`` keeps the XLA-partitioner path.  Use
+    :meth:`canonical_params` for checkpointing either way."""
 
     def __init__(self, cfg: vit.ViTConfig, learning_rate: float = 3e-4,
                  weight_decay: float = 0.05, mesh: Optional[Mesh] = None,
-                 seed: int = 0):
+                 seed: int = 0, impl: str = "auto"):
         self.cfg = cfg
         self.mesh = mesh
         self.optimizer = optax.adamw(learning_rate,
                                      weight_decay=weight_decay)
-        self.params, self.opt_state = init_train_state(
-            jax.random.key(seed), cfg, self.optimizer, mesh)
-        self._step = make_vit_train_step(cfg, self.optimizer, mesh)
+        self._fused = mesh is not None and impl != "xla_spmd"
+        if self._fused:
+            from ..parallel import shard_model as sm
+            kernel_impl = "auto" if impl == "auto" else impl
+            self.params, self.opt_state = sm.init_sharded_train_state(
+                jax.random.key(seed), cfg, self.optimizer, mesh)
+            self._step = sm.make_sharded_train_step(
+                cfg, self.optimizer, mesh, impl=kernel_impl)
+        else:
+            self.params, self.opt_state = init_train_state(
+                jax.random.key(seed), cfg, self.optimizer, mesh)
+            self._step = make_vit_train_step(cfg, self.optimizer, mesh)
         self.history = []
+
+    def canonical_params(self) -> Params:
+        """Parameters in the models/vit.py layout (for checkpoint IO)."""
+        if self._fused:
+            from ..parallel.shard_model import from_tp_layout
+            return from_tp_layout(self.params)
+        return self.params
 
     def fit(self, batches: Iterable[Tuple[jax.Array, jax.Array]],
             log_every: int = 0):
