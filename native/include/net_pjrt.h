@@ -14,6 +14,7 @@
 #define VFT_NET_PJRT_H
 
 #include <cstdint>
+#include <deque>
 #include <memory>
 #include <string>
 #include <vector>
@@ -22,6 +23,7 @@ struct PJRT_Api;
 struct PJRT_Client;
 struct PJRT_Device;
 struct PJRT_Buffer;
+struct PJRT_Event;
 struct PJRT_LoadedExecutable;
 
 namespace net {
@@ -90,6 +92,19 @@ class Model {
   const Spec& input_spec() const { return specs_[input_idx_]; }
   const Spec& output_spec() const { return out_spec_; }
   std::int64_t last_forward_us() const { return forward_us_; }
+  std::size_t output_nbytes() const;
+
+  // Low-level async primitives (used by Stream; forward_bytes composes
+  // them).  execute_async stages the input and dispatches WITHOUT
+  // awaiting device completion; await_and_read blocks on the completion
+  // event, reads the result back, and destroys both buffers.
+  struct Pending {
+    PJRT_Buffer* in = nullptr;
+    PJRT_Buffer* out = nullptr;
+    PJRT_Event* done = nullptr;
+  };
+  Pending execute_async(const void* input_data, std::size_t input_nbytes);
+  void await_and_read(Pending& p, std::vector<std::uint8_t>& host_out);
 
  private:
   std::shared_ptr<Runtime> rt_;
@@ -99,6 +114,35 @@ class Model {
   Spec out_spec_;
   std::vector<PJRT_Buffer*> weight_bufs_;   // staged once
   std::int64_t forward_us_ = 0;
+};
+
+// Bounded in-flight execution ring — the reference's 24-slot event chain
+// (src/netFPGA.cpp:12,319-327: enqueue depends on the event 24 frames
+// back) done natively on TPU.  submit() dispatches without awaiting
+// device completion so up to `depth` executions queue on the device
+// stream while the host stages the next frame; fetch() awaits and reads
+// back the OLDEST in-flight execution (FIFO).  Streaming throughput then
+// exceeds 1/latency: device compute overlaps host staging and readback.
+//
+// Semantics mirror runtime/pipeline.StreamingRing (and the reference
+// frame ring): submit on a full ring DROPS the frame (returns false);
+// fetch on an empty ring returns false.
+class Stream {
+ public:
+  explicit Stream(Model& model, std::size_t depth = 24);
+  ~Stream();   // drains (awaits + releases) any outstanding work
+
+  bool submit(const void* input_data, std::size_t input_nbytes);
+  bool fetch(std::vector<std::uint8_t>& out);
+  std::size_t in_flight() const { return q_.size(); }
+  std::size_t capacity() const { return depth_; }
+  std::size_t dropped() const { return dropped_; }
+
+ private:
+  Model& model_;
+  std::size_t depth_;
+  std::deque<Model::Pending> q_;
+  std::size_t dropped_ = 0;
 };
 
 }  // namespace pjrt

@@ -9,6 +9,7 @@
 #include <dlfcn.h>
 
 #include <chrono>
+#include <cstdio>
 #include <cstring>
 #include <fstream>
 #include <sstream>
@@ -284,26 +285,29 @@ std::vector<float> Model::forward(const void* input_data,
   return host;
 }
 
-std::vector<std::uint8_t> Model::forward_bytes(const void* input_data,
-                                               std::size_t input_nbytes) {
+std::size_t Model::output_nbytes() const {
+  std::size_t out_bytes = dtype_size(out_spec_.dtype);
+  for (auto d : out_spec_.dims) out_bytes *= static_cast<std::size_t>(d);
+  return out_bytes;
+}
+
+Model::Pending Model::execute_async(const void* input_data,
+                                    std::size_t input_nbytes) {
   const PJRT_Api* api = rt_->api();
   const Spec& in = specs_[input_idx_];
   std::size_t expect = dtype_size(in.dtype);
   for (auto d : in.dims) expect *= static_cast<std::size_t>(d);
   VFT_CHECK(input_nbytes == expect,
             "input bytes " << input_nbytes << " != expected " << expect);
-  const auto t0 = std::chrono::high_resolution_clock::now();
 
-  PJRT_Buffer* in_buf = to_device(api, rt_->client(), rt_->device(),
-                                  input_data, in);
+  Pending p;
+  p.in = to_device(api, rt_->client(), rt_->device(), input_data, in);
   std::vector<PJRT_Buffer*> argv(specs_.size());
   for (std::size_t i = 0; i < specs_.size(); ++i)
-    argv[i] = (i == input_idx_) ? in_buf : weight_bufs_[i];
+    argv[i] = (i == input_idx_) ? p.in : weight_bufs_[i];
 
   PJRT_Buffer* const* arg_list = argv.data();
-  PJRT_Buffer* out_buf = nullptr;
-  PJRT_Buffer** out_inner = &out_buf;
-  PJRT_Event* done = nullptr;
+  PJRT_Buffer** out_inner = &p.out;
 
   PJRT_ExecuteOptions opts;
   std::memset(&opts, 0, sizeof(opts));
@@ -318,28 +322,83 @@ std::vector<std::uint8_t> Model::forward_bytes(const void* input_data,
   eargs.num_devices = 1;
   eargs.num_args = argv.size();
   eargs.output_lists = &out_inner;
-  eargs.device_complete_events = &done;
+  eargs.device_complete_events = &p.done;
   CHECK_PJRT(api, api->PJRT_LoadedExecutable_Execute(&eargs));
-  await_event(api, done);
+  return p;   // NOT awaited — caller (Stream / forward_bytes) decides
+}
 
-  std::size_t out_bytes = dtype_size(out_spec_.dtype);
-  for (auto d : out_spec_.dims) out_bytes *= static_cast<std::size_t>(d);
-  std::vector<std::uint8_t> host(out_bytes);
+void Model::await_and_read(Pending& p, std::vector<std::uint8_t>& host) {
+  const PJRT_Api* api = rt_->api();
+  await_event(api, p.done);
+  p.done = nullptr;
+
+  host.resize(output_nbytes());
   PJRT_Buffer_ToHostBuffer_Args hargs;
   std::memset(&hargs, 0, sizeof(hargs));
   hargs.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-  hargs.src = out_buf;
+  hargs.src = p.out;
   hargs.dst = host.data();
   hargs.dst_size = host.size();
   CHECK_PJRT(api, api->PJRT_Buffer_ToHostBuffer(&hargs));
   await_event(api, hargs.event);
 
-  destroy_buffer(api, out_buf);
-  destroy_buffer(api, in_buf);
+  destroy_buffer(api, p.out);
+  destroy_buffer(api, p.in);
+  p.out = nullptr;
+  p.in = nullptr;
+}
+
+std::vector<std::uint8_t> Model::forward_bytes(const void* input_data,
+                                               std::size_t input_nbytes) {
+  const auto t0 = std::chrono::high_resolution_clock::now();
+  Pending p = execute_async(input_data, input_nbytes);
+  std::vector<std::uint8_t> host;
+  await_and_read(p, host);
   forward_us_ = std::chrono::duration_cast<std::chrono::microseconds>(
                     std::chrono::high_resolution_clock::now() - t0)
                     .count();
   return host;
+}
+
+// ---------------------------------------------------------------------------
+// Stream — bounded in-flight execution ring (see net_pjrt.h)
+// ---------------------------------------------------------------------------
+
+Stream::Stream(Model& model, std::size_t depth)
+    : model_(model), depth_(depth) {
+  VFT_CHECK(depth_ > 0, "stream depth must be positive");
+}
+
+Stream::~Stream() {
+  std::vector<std::uint8_t> sink;
+  while (!q_.empty()) {
+    try {
+      model_.await_and_read(q_.front(), sink);
+    } catch (...) {
+      // drain must not throw from a destructor; buffers of a failed
+      // execution are released by await_and_read before it throws
+    }
+    q_.pop_front();
+  }
+}
+
+bool Stream::submit(const void* input_data, std::size_t input_nbytes) {
+  if (q_.size() >= depth_) {
+    ++dropped_;   // reference ring semantics: drop-on-full, warn once
+    if (dropped_ == 1)
+      std::fprintf(stderr, "vft: stream ring full (depth %zu), dropping\n",
+                   depth_);
+    return false;
+  }
+  q_.push_back(model_.execute_async(input_data, input_nbytes));
+  return true;
+}
+
+bool Stream::fetch(std::vector<std::uint8_t>& out) {
+  if (q_.empty()) return false;   // empty sentinel
+  model_.await_and_read(q_.front(), out);
+  q_.pop_front();
+  return true;
 }
 
 }  // namespace pjrt

@@ -1,17 +1,29 @@
 // Pure-native TPU inference demo: PJRT C API, zero Python.
 //
-//   vft_pjrt_demo model=<dir> [plugin=<path>] [iters=N]
+//   vft_pjrt_demo model=<dir> [plugin=<path>] [iters=N] [mode=demo]
+//   vft_pjrt_demo model=<dir> mode=latency iters=1000
+//   vft_pjrt_demo model=<dir> mode=stream frames=256 depth=24
 //
 // <dir> comes from: python -m vit_fpga_tpu.utils.export_pjrt out=<dir>
 // Default plugin resolution order: $VFT_PJRT_PLUGIN, /opt/axon/libaxon_pjrt.so
 // (tunneled dev chip), libtpu.so (real TPU host).
 //
-// Prints the argmax logits per image plus the µs forward counter — the
-// same observable surface as the reference's PERFORMANCE build
-// (/root/reference/src/netFPGA.cpp:262-284).
+// mode=demo    — forward passes + argmax logits + the µs forward counter
+//                (the reference's PERFORMANCE surface, netFPGA.cpp:262-284).
+// mode=latency — N blocking forwards, TRUE per-call percentiles
+//                (p50/p90/p95/p99/max) from the host-observed counter: the
+//                native client blocks on the device-complete event, so
+//                unlike the tunnel-acked Python path these are real
+//                per-request latencies.
+// mode=stream  — N frames through the bounded in-flight ring
+//                (net::pjrt::Stream, the reference's 24-slot event chain):
+//                reports frames/s and the overlap factor vs blocking
+//                latency (>1.0 = device compute overlapped host work).
 
 #include <unistd.h>
 
+#include <algorithm>
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -73,6 +85,66 @@ int main(int argc, char** argv) {
     } else {
       for (std::size_t i = 0; i < input.size(); ++i)
         input[i] = static_cast<std::uint8_t>((i * 2654435761u) >> 24);
+    }
+
+    const std::string mode = opts.get<std::string>("mode",
+                                                   std::string("demo"));
+    if (mode == "latency") {
+      const int n = iters > 3 ? iters : 1000;
+      model.forward_bytes(input.data(), input.size());  // warm (compile)
+      std::vector<long long> us(n);
+      for (int i = 0; i < n; ++i) {
+        model.forward_bytes(input.data(), input.size());
+        us[i] = model.last_forward_us();
+      }
+      std::sort(us.begin(), us.end());
+      auto pct = [&](double p) {
+        return us[static_cast<std::size_t>(p / 100.0 * (n - 1))];
+      };
+      std::printf("latency over %d calls (us): p50=%lld p90=%lld "
+                  "p95=%lld p99=%lld max=%lld\n", n, pct(50), pct(90),
+                  pct(95), pct(99), us[n - 1]);
+      std::printf("PJRT NATIVE DEMO OK\n");
+      return 0;
+    }
+    if (mode == "stream") {
+      const int frames = opts.get<int>("frames", 256);
+      const int depth = opts.get<int>("depth", 24);
+      model.forward_bytes(input.data(), input.size());  // warm (compile)
+      // blocking baseline
+      const int warm = 16;
+      long long block_us = 0;
+      for (int i = 0; i < warm; ++i) {
+        model.forward_bytes(input.data(), input.size());
+        block_us += model.last_forward_us();
+      }
+      block_us /= warm;
+      // pipelined ring
+      net::pjrt::Stream stream(model, static_cast<std::size_t>(depth));
+      std::vector<std::uint8_t> sink;
+      unsigned long long check = 0;
+      const auto t0 = std::chrono::high_resolution_clock::now();
+      int fetched = 0;
+      for (int f = 0; f < frames; ++f) {
+        while (stream.in_flight() >= stream.capacity()) {
+          if (stream.fetch(sink)) { ++fetched; check += sink[0]; }
+        }
+        if (!stream.submit(input.data(), input.size())) --f;
+      }
+      while (stream.fetch(sink)) { ++fetched; check += sink[0]; }
+      const auto dt = std::chrono::duration_cast<std::chrono::microseconds>(
+          std::chrono::high_resolution_clock::now() - t0).count();
+      const double per_frame = static_cast<double>(dt) / frames;
+      std::printf("stream: %d frames depth=%d in %.3f ms -> %.1f us/frame "
+                  "(%.0f frames/s), fetched=%d dropped=%zu check=%llu\n",
+                  frames, depth, dt / 1e3, per_frame, 1e6 / per_frame,
+                  fetched, stream.dropped(), check);
+      std::printf("blocking latency %lld us -> overlap factor %.2fx\n",
+                  block_us, static_cast<double>(block_us) / per_frame);
+      if (fetched == frames && per_frame < static_cast<double>(block_us))
+        std::printf("PJRT STREAM OVERLAP OK\n");
+      std::printf("PJRT NATIVE DEMO OK\n");
+      return 0;
     }
 
     const auto& out = model.output_spec();

@@ -317,3 +317,33 @@ def test_latency_forward_parity_on_hw():
     got = np.asarray(vit.forward_latency(params, imgs, cfg), np.float32)
     scale = np.abs(ref).max() + 1e-6
     assert np.abs(got - ref).max() / scale < 0.02
+
+
+def test_pjrt_native_stream_ring_on_hw(tmp_path):
+    """The async in-flight execution ring (net::pjrt::Stream — the
+    reference's 24-slot event chain done natively on TPU): frames
+    pipelined through the ring must all complete, and streaming
+    throughput must beat the blocking path (overlap factor > 1)."""
+    import subprocess
+    demo = os.path.join(os.path.dirname(__file__),
+                        "../native/build/vft_pjrt_demo")
+    if not os.path.exists(demo):
+        pytest.skip("native build not present")
+    plugin = os.environ.get("VFT_PJRT_PLUGIN", "/opt/axon/libaxon_pjrt.so")
+    if not os.path.exists(plugin):
+        pytest.skip(f"no PJRT plugin at {plugin}")
+    from vit_fpga_tpu.utils.export_pjrt import export_filter
+    filt_dir = export_filter(str(tmp_path / "filter"), 256, 384,
+                             "sharpen")
+    env = dict(os.environ,
+               AXON_POOL_SVC_OVERRIDE=os.environ.get(
+                   "AXON_POOL_SVC_OVERRIDE", "127.0.0.1"),
+               AXON_LOOPBACK_RELAY="1",
+               TPU_WORKER_HOSTNAMES=os.environ.get(
+                   "TPU_WORKER_HOSTNAMES", "localhost"))
+    run = subprocess.run([demo, f"model={filt_dir}", "mode=stream",
+                          "frames=64", "depth=8"], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert run.returncode == 0, run.stderr[-2000:]
+    assert "fetched=64 dropped=0" in run.stdout, run.stdout
+    assert "PJRT STREAM OVERLAP OK" in run.stdout, run.stdout

@@ -58,6 +58,13 @@ class ViTConfig:
     num_prefix_tokens: int = 1
     hidden_act: str = "gelu"         # gelu (erf) | gelu_tanh | quick_gelu
     mlp_impl: str = "auto"           # auto | pallas (fused) | xla
+    # Exact max-subtract softmax in the fused attention kernels instead
+    # of the max-free exp(clip(s)) fast path.  Set (or auto-set via
+    # utils/calibrate.choose_softmax_mode) for checkpoints whose
+    # attention logits can leave the [-70, 80] clip window; training
+    # forces it on so forward and backward describe the same function
+    # at any logit magnitude.
+    safe_softmax: bool = False
     remat: bool = False              # jax.checkpoint each block (training)
     # None = auto: unrolled python loop for inference (measured 1.2 ms/step
     # faster than lax.scan at ViT-B b64 — scan's per-layer weight slices
@@ -253,7 +260,7 @@ def _block(x, blk, cfg: ViTConfig, n_valid: int | None = None):
         x = attn_block(
             x, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
             blk["bqkv"], blk["wo"], blk["bo"], cfg.num_heads,
-            cfg.ln_eps, n_valid)
+            cfg.ln_eps, n_valid, cfg.safe_softmax)
     else:
         h = _layernorm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
         qkv = h @ blk["wqkv"].astype(dt) + blk["bqkv"].astype(dt)
@@ -391,8 +398,12 @@ def _forward_features(params: Params, images: jax.Array,
     sub = 16 if dt == jnp.bfloat16 else 8
     n_pad = round_up(n, sub)
 
+    from ..ops.patch_embed import embed_tokens_fits
     if (jax.default_backend() == "tpu"
-            and cfg.attn_impl in ("auto", "pallas")):
+            and cfg.attn_impl in ("auto", "pallas")
+            and embed_tokens_fits(n_pad, cfg.patch_size ** 2 * 3,
+                                  cfg.hidden_dim,
+                                  2 if dt == jnp.bfloat16 else 4)):
         x = _fused_embed(params, images, cfg, n_pad)
     else:
         x = patchify(images.astype(dt), cfg.patch_size)
@@ -471,7 +482,10 @@ def forward_raw(params: Params, images_u8: jax.Array,
 def latency_forward_supported(cfg: ViTConfig, batch: int) -> bool:
     from ..ops.common import LANE, SUBLANE_BF16, round_up
     from ..ops.vit_stack import stack_fits
+    # the single-launch stack kernel uses the max-free softmax; hot-logit
+    # checkpoints (cfg.safe_softmax) take the per-layer kernels instead
     return (cfg.dtype == "bfloat16" and cfg.pool == "cls" and batch <= 4
+            and not cfg.safe_softmax
             and stack_fits(cfg.num_heads, cfg.hidden_dim, cfg.mlp_dim,
                            round_up(cfg.seq_len, SUBLANE_BF16),
                            round_up(cfg.seq_len, LANE), batch))

@@ -145,7 +145,8 @@ def _attn_block_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wo_ref,
                        bo_ref, o_ref, qkv_ref, scores_ref, *maybe_ao,
                        eps: float, scale: float, n_valid: int, n_pad: int,
                        kv_pad: int, n_heads: int, dh: int, n_sc: int,
-                       imgs: int, residual: bool = True):
+                       imgs: int, residual: bool = True,
+                       safe_softmax: bool = False):
     ao_ref = maybe_ao[0] if maybe_ao else None
     d = n_heads * dh            # attention width (= dm except under tp)
     dm = x_ref.shape[-1]        # model width
@@ -160,6 +161,13 @@ def _attn_block_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wo_ref,
     # jnp.var's two-pass form (-0.17 ms / 12 layers, experiments/
     # perf_attn_micro.py); the clamp guards the cancellation-negative
     # case (constant rows) on the tiny (rows, 1) vector.
+    # Precision envelope (ADVICE r2): in f32 the E[x²]-µ² form loses
+    # ~log2(µ²/σ²) bits to cancellation, so rows need |µ|/σ ≲ 2^9 for
+    # ~14-bit-accurate variance — residual-stream activations sit at
+    # |µ|/σ < 10 (they are LayerNormed every half-block), 4+ orders
+    # inside the envelope; the two-pass jnp.var stays in the XLA
+    # reference and every backward pass, so parity tests would catch a
+    # model family that ever leaves it.
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.maximum(
         jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
@@ -214,20 +222,35 @@ def _attn_block_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wo_ref,
                 s = scores_ref[h - g]
                 if not q_scaled:
                     s = s * scale
-                # Max-free softmax: exp(clip(s)) drops the per-row max
-                # reduce + subtract (+0.33 ms / 12 layers measured,
-                # experiments/perf_attn_softmax3.py).  softmax is shift-
-                # invariant, so skipping the shift is exact as long as
-                # exp neither overflows (s <= 80; f32 overflows at 88)
-                # nor fully underflows (some valid s >= -70).  Trained
-                # ViT logits live in ~[-40, 40]; the clip makes the
-                # out-of-range failure mode graceful (saturated weights)
-                # instead of inf/NaN.  Keys below the clip floor carry
-                # e^-70 ~ 4e-31 weight — zero at f32 for any normal row.
-                s = jnp.clip(s, _EXP_LO, _EXP_HI)
-                if colbias is not None:
-                    s = s + colbias
-                e = jnp.exp(s)
+                if safe_softmax:
+                    # exact max-subtract softmax: selected for checkpoints
+                    # whose attention logits can leave the max-free clip
+                    # window (utils/calibrate.py) and for training, where
+                    # logits evolve — keeps forward and the exact-softmax
+                    # backward describing the SAME function everywhere.
+                    if colbias is not None:
+                        s = s + colbias
+                    s = s - jnp.max(s, axis=-1, keepdims=True)
+                    e = jnp.exp(s)
+                else:
+                    # Max-free softmax: exp(clip(s)) drops the per-row max
+                    # reduce + subtract (+0.33 ms / 12 layers measured,
+                    # experiments/perf_attn_softmax3.py).  softmax is
+                    # shift-invariant, so skipping the shift is exact as
+                    # long as exp neither overflows (s <= 80; f32
+                    # overflows at 88) nor fully underflows (some valid
+                    # s >= -70).  Trained ViT logits live in ~[-40, 40];
+                    # the clip makes the out-of-range failure mode
+                    # graceful (saturated weights) instead of inf/NaN —
+                    # and utils/calibrate.py verifies the window per
+                    # checkpoint, routing hot-logit models to
+                    # safe_softmax.  Keys below the clip floor carry
+                    # e^-70 ~ 4e-31 weight — zero at f32 for any normal
+                    # row.
+                    s = jnp.clip(s, _EXP_LO, _EXP_HI)
+                    if colbias is not None:
+                        s = s + colbias
+                    e = jnp.exp(s)
                 denom = jnp.sum(e, axis=-1, keepdims=True)
                 v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
                 pv = jnp.dot(
@@ -255,11 +278,13 @@ def _attn_block_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wo_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "n_valid",
-                                             "residual", "interpret"))
+                                             "residual", "safe_softmax",
+                                             "interpret"))
 def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                       num_heads: int, eps: float = 1e-6,
                       n_valid: int | None = None,
                       residual: bool = True,
+                      safe_softmax: bool = False,
                       interpret: bool = False):
     """x: (B, N, D) -> x + OutProj(MHA(QKV(LN(x)))). Weights any dtype
     (cast to x.dtype); biases f32.
@@ -295,7 +320,8 @@ def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                           scale=1.0 / (dh ** 0.5),
                           n_valid=min(n_valid, n), n_pad=n_pad,
                           kv_pad=kv_pad, n_heads=num_heads, dh=dh,
-                          n_sc=n_sc, imgs=imgs, residual=residual),
+                          n_sc=n_sc, imgs=imgs, residual=residual,
+                          safe_softmax=safe_softmax),
         grid=(b // imgs,),
         in_specs=[
             pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
@@ -330,25 +356,30 @@ def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
     return out[:, :n, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, num_heads: int,
-               eps: float, n_valid: int | None = None):
+               eps: float, n_valid: int | None = None,
+               safe_softmax: bool = False):
     """Differentiable fused attention half: Pallas forward, XLA-recompute
     backward (rematerialization; see ops/fused_mlp.py).  ``n_valid``
     supports padded-residency encoders (tokens kept sublane-padded across
-    layers; key/value columns >= n_valid are masked)."""
+    layers; key/value columns >= n_valid are masked).  ``safe_softmax``
+    selects the exact max-subtract softmax for checkpoints outside the
+    max-free clip window (utils/calibrate.py) and for training."""
     return attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
-                             num_heads, eps=eps, n_valid=n_valid)
+                             num_heads, eps=eps, n_valid=n_valid,
+                             safe_softmax=safe_softmax)
 
 
 def _attn_block_fwd(x, ls, lb, wqkv, bqkv, wo, bo, num_heads, eps,
-                    n_valid):
+                    n_valid, safe_softmax):
     out = attn_block_pallas(x, ls, lb, wqkv, bqkv, wo, bo, num_heads,
-                            eps=eps, n_valid=n_valid)
+                            eps=eps, n_valid=n_valid,
+                            safe_softmax=safe_softmax)
     return out, (x, ls, lb, wqkv, bqkv, wo, bo)
 
 
-def _attn_block_bwd(num_heads, eps, n_valid, res, g):
+def _attn_block_bwd(num_heads, eps, n_valid, safe_softmax, res, g):
     x, ls, lb, wqkv, bqkv, wo, bo = res
     d = x.shape[-1]
     n_pad = round_up(x.shape[1], _sublane(x.dtype))

@@ -79,6 +79,21 @@ def patch_embed_xla(images_u8: jax.Array, kernel_f: jax.Array,
 # ---------------------------------------------------------------------------
 
 
+def embed_tokens_fits(n_pad: int, p3: int, d: int, itemsize: int,
+                      budget: int = 13 * 1024 * 1024) -> bool:
+    """VMEM fit-gate for the fused token-assembly embed (mirrors
+    attn_block's planner, ADVICE r2): per grid step the kernel holds the
+    double-buffered (n_pad, P²3) patch block and (n_pad, D) out block,
+    the (P²3, D) weight, and the f32 (n_pad, D) posb table.  Oversize
+    geometries (e.g. ViT-H/14 at 448px) fall back to the XLA embed
+    chain instead of failing at compile time."""
+    need = (2 * n_pad * p3 * itemsize      # in, double-buffered
+            + 2 * n_pad * d * itemsize     # out, double-buffered
+            + p3 * d * itemsize            # kernel
+            + n_pad * d * 4)               # posb (f32)
+    return need <= budget
+
+
 def _embed_tokens_kernel(p_ref, k_ref, pb_ref, o_ref):
     acc = jnp.dot(p_ref[0], k_ref[:], preferred_element_type=jnp.float32)
     o_ref[0] = (acc + pb_ref[:]).astype(o_ref.dtype)

@@ -134,37 +134,39 @@ def _attn_partial_xla(x, ls, lb, wqkv, bqkv, wo, num_heads, eps, n_valid):
                    preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def attn_partial(x, ls, lb, wqkv, bqkv, wo, num_heads: int, eps: float,
-                 n_valid: Optional[int], impl: str):
+                 n_valid: Optional[int], impl: str,
+                 safe_softmax: bool = False):
     """Partial attention half over a local head group (tp shard).
 
     x: (B, N, D_model); wqkv: (D_model, 3*Da); wo: (Da, D_model) with
     Da = num_heads(local) * dh.  Returns the un-psummed partial output."""
     return _attn_partial_fwd_impl(x, ls, lb, wqkv, bqkv, wo, num_heads,
-                                  eps, n_valid, impl)
+                                  eps, n_valid, impl, safe_softmax)
 
 
 def _attn_partial_fwd_impl(x, ls, lb, wqkv, bqkv, wo, num_heads, eps,
-                           n_valid, impl):
+                           n_valid, impl, safe_softmax):
     if impl in ("pallas", "interpret"):
         from ..ops.attn_block import attn_block_pallas
         bo = jnp.zeros((x.shape[-1],), jnp.float32)
         return attn_block_pallas(x, ls, lb, wqkv, bqkv, wo, bo, num_heads,
                                  eps=eps, n_valid=n_valid, residual=False,
+                                 safe_softmax=safe_softmax,
                                  interpret=(impl == "interpret"))
     return _attn_partial_xla(x, ls, lb, wqkv, bqkv, wo, num_heads, eps,
                              n_valid)
 
 
 def _attn_partial_fwd(x, ls, lb, wqkv, bqkv, wo, num_heads, eps, n_valid,
-                      impl):
+                      impl, safe_softmax):
     out = _attn_partial_fwd_impl(x, ls, lb, wqkv, bqkv, wo, num_heads,
-                                 eps, n_valid, impl)
+                                 eps, n_valid, impl, safe_softmax)
     return out, (x, ls, lb, wqkv, bqkv, wo)
 
 
-def _attn_partial_bwd(num_heads, eps, n_valid, impl, res, g):
+def _attn_partial_bwd(num_heads, eps, n_valid, impl, safe_softmax, res, g):
     _, vjp = jax.vjp(
         lambda *a: _attn_partial_xla(*a, num_heads=num_heads, eps=eps,
                                      n_valid=n_valid), *res)
@@ -251,7 +253,10 @@ def _forward_local(params: Params, images: jax.Array, cfg: vit.ViTConfig,
     sub = 16 if dt == jnp.bfloat16 else 8
     n_pad = round_up(n, sub)
 
-    if impl == "pallas":
+    from ..ops.patch_embed import embed_tokens_fits
+    if impl == "pallas" and embed_tokens_fits(
+            n_pad, cfg.patch_size ** 2 * 3, d,
+            2 if dt == jnp.bfloat16 else 4):
         x = vit._fused_embed(params, images, cfg, n_pad)
     else:
         x = vit.patchify(images.astype(dt), cfg.patch_size)
@@ -280,7 +285,8 @@ def _forward_local(params: Params, images: jax.Array, cfg: vit.ViTConfig,
         wqkv = blk["wqkv"].reshape(d, 3 * blk["wqkv"].shape[-1])
         bqkv = blk["bqkv"].reshape(3 * blk["bqkv"].shape[-1])
         y = attn_partial(x, blk["ln1_scale"], blk["ln1_bias"], wqkv, bqkv,
-                         blk["wo"], heads_loc, cfg.ln_eps, n, impl)
+                         blk["wo"], heads_loc, cfg.ln_eps, n, impl,
+                         cfg.safe_softmax)
         if tp > 1:
             y = jax.lax.psum(y, "tp")
         x = x + y + blk["bo"].astype(dt)
@@ -361,6 +367,8 @@ def make_sharded_train_step(cfg: vit.ViTConfig, optimizer,
     one psum per half).  Gradients: shard_map's transpose inserts the dp
     all-reduce for the replicated params; the optimizer update runs on the
     tp-sharded layout."""
+    import dataclasses
+    cfg = dataclasses.replace(cfg, safe_softmax=True)  # training: exact
     impl = _resolve_impl(cfg, mesh, impl)
     tp = mesh.shape.get("tp", 1)
     daxes = _data_axes(mesh)

@@ -64,9 +64,14 @@ def make_vit_train_step(cfg: vit.ViTConfig, optimizer: optax.GradientTransformat
     XLA-recompute backward), so training uses whatever implementations
     the config selects — fused forwards on TPU, XLA everywhere else.
     """
+    import dataclasses
+    # Training always uses the exact max-subtract softmax: logits evolve
+    # during training, and the backward is exact max-subtract — the
+    # max-free clip window can't be statically guaranteed, and forward
+    # and gradient must describe the same function (ADVICE r2).
+    cfg = dataclasses.replace(cfg, safe_softmax=True)
 
     if mesh is not None:
-        import dataclasses
         # This builder is the XLA-SPMD-partitioner path: the whole graph
         # uses the XLA block implementations and the partitioner splits
         # them per the PartitionSpecs (Pallas custom calls are opaque to
