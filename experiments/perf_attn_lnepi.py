@@ -275,25 +275,23 @@ def mlp_consume_emit(x, st, w):
 
 
 def main():
+    # weights passed as ARGS (shared across the 12 layers, like every
+    # perf_* experiment here — closure constants bloat the HLO)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(B, N_PAD, D)) * 0.5, jnp.bfloat16)
-    aw = []
-    mw = []
-    for _ in range(12):
-        aw.append((
-            jnp.ones((1, D), jnp.float32),
-            jnp.zeros((1, D), jnp.float32),
-            jnp.asarray(rng.normal(size=(D, 3 * D)) * 0.02, jnp.bfloat16),
-            jnp.zeros((1, 3 * D), jnp.float32),
-            jnp.asarray(rng.normal(size=(D, D)) * 0.02, jnp.bfloat16),
-            jnp.zeros((1, D), jnp.float32)))
-        mw.append((
-            jnp.ones((1, D), jnp.float32),
-            jnp.zeros((1, D), jnp.float32),
-            jnp.asarray(rng.normal(size=(D, M)) * 0.02, jnp.bfloat16),
-            jnp.zeros((1, M), jnp.float32),
-            jnp.asarray(rng.normal(size=(M, D)) * 0.02, jnp.bfloat16),
-            jnp.zeros((1, D), jnp.float32)))
+    aw = (jnp.ones((1, D), jnp.float32),
+          jnp.zeros((1, D), jnp.float32),
+          jnp.asarray(rng.normal(size=(D, 3 * D)) * 0.02, jnp.bfloat16),
+          jnp.zeros((1, 3 * D), jnp.float32),
+          jnp.asarray(rng.normal(size=(D, D)) * 0.02, jnp.bfloat16),
+          jnp.zeros((1, D), jnp.float32))
+    mw = (jnp.ones((1, D), jnp.float32),
+          jnp.zeros((1, D), jnp.float32),
+          jnp.asarray(rng.normal(size=(D, M)) * 0.02, jnp.bfloat16),
+          jnp.zeros((1, M), jnp.float32),
+          jnp.asarray(rng.normal(size=(M, D)) * 0.02, jnp.bfloat16),
+          jnp.zeros((1, D), jnp.float32))
+    args = aw + mw + (x,)
 
     def ln_stats_xla(x):
         xf = x.astype(jnp.float32).reshape(-1, D)
@@ -306,70 +304,186 @@ def main():
         return st
 
     @jax.jit
-    def stack_P(x):
-        for i in range(12):
+    def stack_P(*a):
+        aw, mw, x = a[:6], a[6:12], a[12]
+        for _ in range(12):
             x = attn_block_pallas(
-                x, aw[i][0].reshape(-1), aw[i][1].reshape(-1), aw[i][2],
-                aw[i][3].reshape(-1), aw[i][4], aw[i][5].reshape(-1), H,
+                x, aw[0].reshape(-1), aw[1].reshape(-1), aw[2],
+                aw[3].reshape(-1), aw[4], aw[5].reshape(-1), H,
                 eps=EPS, n_valid=N)
             t = fused_mlp_pallas(
-                x.reshape(B * N_PAD, D), mw[i][0].reshape(-1),
-                mw[i][1].reshape(-1), mw[i][2], mw[i][3].reshape(-1),
-                mw[i][4], mw[i][5].reshape(-1), eps=EPS, act="gelu_tanh")
+                x.reshape(B * N_PAD, D), mw[0].reshape(-1),
+                mw[1].reshape(-1), mw[2], mw[3].reshape(-1),
+                mw[4], mw[5].reshape(-1), eps=EPS, act="gelu_tanh")
             x = t.reshape(B, N_PAD, D)
         return x
 
     @jax.jit
-    def stack_A(x):
+    def stack_A(*a):
         """attn emits LN2 stats; mlp consumes."""
-        for i in range(12):
-            x, st = attn_emit(x, aw[i])
+        aw, mw, x = a[:6], a[6:12], a[12]
+        for _ in range(12):
+            x, st = attn_emit(x, aw)
             t = mlp_consume(x.reshape(B * N_PAD, D),
-                            st.reshape(B * N_PAD, SLANE), mw[i])
+                            st.reshape(B * N_PAD, SLANE), mw)
             x = t.reshape(B, N_PAD, D)
         return x
 
     @jax.jit
-    def stack_AB(x):
+    def stack_AB(*a):
         """both directions: every kernel consumes stats and emits next."""
+        aw, mw, x = a[:6], a[6:12], a[12]
         st = ln_stats_xla(x).reshape(B, N_PAD, SLANE)
-        for i in range(12):
-            x, st2 = attn_consume_emit(x, st, aw[i])
+        for _ in range(12):
+            x, st2 = attn_consume_emit(x, st, aw)
             t, st3 = mlp_consume_emit(x.reshape(B * N_PAD, D),
-                                      st2.reshape(B * N_PAD, SLANE),
-                                      mw[i])
+                                      st2.reshape(B * N_PAD, SLANE), mw)
             x = t.reshape(B, N_PAD, D)
             st = st3.reshape(B, N_PAD, SLANE)
         return x
 
     @jax.jit
-    def stack_B(x):
-        """mlp emits LN1 stats; attn consumes (first attn normal)."""
+    def stack_B(*a):
+        """mlp emits LN1 stats; attn consumes (first stats from XLA)."""
+        aw, mw, x = a[:6], a[6:12], a[12]
         st = ln_stats_xla(x).reshape(B, N_PAD, SLANE)
-        for i in range(12):
-            x = attn_consume(x, st, aw[i])
-            t, st2 = mlp_emit(x.reshape(B * N_PAD, D), mw[i])
+        for _ in range(12):
+            x = attn_consume(x, st, aw)
+            t, st2 = mlp_emit(x.reshape(B * N_PAD, D), mw)
             x = t.reshape(B, N_PAD, D)
             st = st2.reshape(B, N_PAD, SLANE)
         return x
 
     # correctness: A/B/AB vs P
-    ref = np.asarray(stack_P(x), np.float32)
+    ref = np.asarray(stack_P(*args), np.float32)
     for name, fn in (("A", stack_A), ("B", stack_B), ("AB", stack_AB)):
-        got = np.asarray(fn(x), np.float32)
+        got = np.asarray(fn(*args), np.float32)
         err = np.max(np.abs(got - ref)) / max(np.max(np.abs(ref)), 1e-6)
         print(f"variant {name}: max rel err vs P = {err:.3e}", flush=True)
 
     for rnd in range(4):
         for name, fn in (("P ", stack_P), ("A ", stack_A),
                          ("B ", stack_B), ("AB", stack_AB)):
-            t = time_device_loop_single(fn, (x,), n=8)
+            t = time_device_loop_single(fn, args, n=8)
             print(f"round {rnd} {name}: {t * 1e3:8.3f} ms / 12 layers",
                   flush=True)
+
+
+
+
+# ---------------------------------------------------------------------------
+# Variant C (appended after A/B/AB measured): PAIR kernel — attn + LN2
+# (inline, no stats round-trip) + MLP in ONE kernel per layer; consumes
+# LN1 stats from the previous layer and emits the next layer's.  The
+# earlier whole-block-fusion experiment predates the softmax diet and the
+# stats-epilogue idea; this is the untried combination.
+# ---------------------------------------------------------------------------
+
+def pair_k(x_ref, st_ref, ls1, lb1, wqkv, bqkv, wo, bo, ls2, lb2, w1, b1,
+           w2, b2, o_ref, sto_ref, qkv_ref, scores_ref, ao_ref):
+    x = x_ref[:].reshape(IMGS * N_PAD, D)
+    xf = x.astype(jnp.float32)
+    mu = st_ref[:, :, 0:1].reshape(IMGS * N_PAD, 1)
+    rstd = st_ref[:, :, 1:2].reshape(IMGS * N_PAD, 1)
+    xn = ((xf - mu) * rstd * ls1[0] + lb1[0]).astype(x.dtype)
+    xa = _attn_core(x, xn, qkv_ref, scores_ref, ao_ref, wqkv, bqkv,
+                    wo, bo)
+    # LN2 inline (reductions can overlap the tail out-proj MXU work)
+    xf2 = xa.astype(jnp.float32)
+    mu2, rstd2 = _ln_rows(xf2)
+    xn2 = ((xf2 - mu2) * rstd2 * ls2[0] + lb2[0]).astype(x.dtype)
+    h = jnp.dot(xn2, w1[:], preferred_element_type=jnp.float32) + b1[0]
+    h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
+    y = jnp.dot(h, w2[:], preferred_element_type=jnp.float32) + b2[0]
+    out = xa + y.astype(x.dtype)
+    o_ref[:] = out.reshape(IMGS, N_PAD, D)
+    mu3, rstd3 = _ln_rows(out.astype(jnp.float32))
+    sto_ref[:, :, 0:1] = mu3.reshape(IMGS, N_PAD, 1)
+    sto_ref[:, :, 1:2] = rstd3.reshape(IMGS, N_PAD, 1)
+
+
+def pair_call(x, st, aw, mw):
+    return pl.pallas_call(
+        pair_k, grid=(B // IMGS,),
+        in_specs=[_XTILE, _STILE] + _AWSPECS + _MWSPECS,
+        out_specs=[_XTILE, _STILE],
+        out_shape=[jax.ShapeDtypeStruct((B, N_PAD, D), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((B, N_PAD, SLANE), jnp.float32)],
+        scratch_shapes=_ASCRATCH,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=VMEM48),
+    )(x, st, *aw, *mw)
+
+
+def main_c():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, N_PAD, D)) * 0.5, jnp.bfloat16)
+    aw = (jnp.ones((1, D), jnp.float32),
+          jnp.zeros((1, D), jnp.float32),
+          jnp.asarray(rng.normal(size=(D, 3 * D)) * 0.02, jnp.bfloat16),
+          jnp.zeros((1, 3 * D), jnp.float32),
+          jnp.asarray(rng.normal(size=(D, D)) * 0.02, jnp.bfloat16),
+          jnp.zeros((1, D), jnp.float32))
+    mw = (jnp.ones((1, D), jnp.float32),
+          jnp.zeros((1, D), jnp.float32),
+          jnp.asarray(rng.normal(size=(D, M)) * 0.02, jnp.bfloat16),
+          jnp.zeros((1, M), jnp.float32),
+          jnp.asarray(rng.normal(size=(M, D)) * 0.02, jnp.bfloat16),
+          jnp.zeros((1, D), jnp.float32))
+    args = aw + mw + (x,)
+
+    def ln_stats_xla(x):
+        xf = x.astype(jnp.float32).reshape(-1, D)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(xf * xf, -1, keepdims=True)
+                          - mu * mu, 0.0)
+        st = jnp.zeros((xf.shape[0], SLANE), jnp.float32)
+        st = st.at[:, 0:1].set(mu)
+        st = st.at[:, 1:2].set(jax.lax.rsqrt(var + EPS))
+        return st
+
+    @jax.jit
+    def stack_P(*a):
+        aw, mw, x = a[:6], a[6:12], a[12]
+        for _ in range(12):
+            x = attn_block_pallas(
+                x, aw[0].reshape(-1), aw[1].reshape(-1), aw[2],
+                aw[3].reshape(-1), aw[4], aw[5].reshape(-1), H,
+                eps=EPS, n_valid=N)
+            t = fused_mlp_pallas(
+                x.reshape(B * N_PAD, D), mw[0].reshape(-1),
+                mw[1].reshape(-1), mw[2], mw[3].reshape(-1),
+                mw[4], mw[5].reshape(-1), eps=EPS, act="gelu_tanh")
+            x = t.reshape(B, N_PAD, D)
+        return x
+
+    @jax.jit
+    def stack_C(*a):
+        aw, mw, x = a[:6], a[6:12], a[12]
+        st = ln_stats_xla(x).reshape(B, N_PAD, SLANE)
+        for _ in range(12):
+            x, st = pair_call(x, st, aw, mw)
+        return x
+
+    ref = np.asarray(stack_P(*args), np.float32)
+    got = np.asarray(stack_C(*args), np.float32)
+    err = np.max(np.abs(got - ref)) / max(np.max(np.abs(ref)), 1e-6)
+    print(f"variant C: max rel err vs P = {err:.3e}", flush=True)
+    for rnd in range(4):
+        for name, fn in (("P ", stack_P), ("C ", stack_C)):
+            t = time_device_loop_single(fn, args, n=8)
+            print(f"round {rnd} {name}: {t * 1e3:8.3f} ms / 12 layers",
+                  flush=True)
+
+
 
 
 if __name__ == "__main__":
     import os
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/repo/.jax_cache")
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "C":
+        main_c()
+    else:
+        main()

@@ -347,3 +347,29 @@ def test_pjrt_native_stream_ring_on_hw(tmp_path):
     assert run.returncode == 0, run.stderr[-2000:]
     assert "fetched=64 dropped=0" in run.stdout, run.stdout
     assert "PJRT STREAM OVERLAP OK" in run.stdout, run.stdout
+
+
+def test_stats_chain_full_model_parity_on_hw():
+    """The stats-epilogue encoder chain (the production ViT-B inference
+    path) matches the XLA-block forward end to end."""
+    import dataclasses
+    import jax.numpy as jnp
+    from vit_fpga_tpu.models import vit
+    rng = np.random.default_rng(11)
+    cfg = vit.config("vit_b16", dtype="bfloat16")
+    assert vit._stats_chain_supported(cfg, 16)
+    params = vit.init_params(jax.random.key(0), cfg)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jnp.asarray(rng.normal(size=p.shape),
+                                         p.dtype), params)
+    images = jnp.asarray(rng.normal(size=(16, 224, 224, 3)), jnp.float32)
+    got = np.asarray(vit.forward(params, images, cfg), np.float32)
+    ref_cfg = dataclasses.replace(cfg, attn_impl="xla", mlp_impl="xla")
+    want = np.asarray(vit.forward(params, images, ref_cfg), np.float32)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 0.03
+    # cosine over logits per image
+    num = (got * want).sum(-1)
+    den = (np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+           + 1e-9)
+    assert (num / den).min() > 0.999

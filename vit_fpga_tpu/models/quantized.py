@@ -344,3 +344,50 @@ def vit_forward_int8_latency(qparams: Params, images: jax.Array,
     hd = qparams["head"]
     return _fused_lin(cls_t, hd["wq"], hd["ws"], hd["b"])[:, 0].astype(
         jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower int8 (round 3): the blocks are plain ViT blocks, so
+# the fast-int8 machinery applies directly; ln_pre stays f32 VPU work and
+# the final projection stays f32 (a single small GEMM — quantizing it
+# costs accuracy for ~0 time).  Closes the round-2 exporter gap
+# ("int8 export supports the ViT classifier family only").
+# ---------------------------------------------------------------------------
+
+def quantize_clip_vision_fast(params: Params) -> Params:
+    """Per-output-column int8 weights for a CLIP vision tower
+    (models/clip.py param layout: ViT params + ln_pre_* + proj)."""
+    out = quantize_vit_fast(params)
+    out["ln_pre_scale"] = jnp.asarray(params["ln_pre_scale"])
+    out["ln_pre_bias"] = jnp.asarray(params["ln_pre_bias"])
+    out["proj"] = jnp.asarray(params["proj"])
+    return out
+
+
+def clip_forward_int8_fast(qparams: Params, images: jax.Array,
+                           cfg: vit_mod.ViTConfig) -> jax.Array:
+    """Fast int8 CLIP image encoder: normalized images -> embeddings.
+    Semantics mirror models/clip.forward with the int8 block kernels."""
+    dt = jnp.bfloat16
+    x = vit_mod.patchify(images.astype(dt), cfg.patch_size)
+    pe = qparams["patch_embed"]
+    x = _fused_lin(x, pe["wq"], pe["ws"], pe["b"])
+    b = x.shape[0]
+    cls = jnp.broadcast_to(qparams["cls_token"].astype(dt),
+                           (b, 1, cfg.hidden_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + qparams["pos_embed"].astype(dt)
+    x = vit_mod._layernorm(x, qparams["ln_pre_scale"],
+                           qparams["ln_pre_bias"], cfg.ln_eps)
+
+    n = cfg.seq_len
+    from ..ops.common import SUBLANE_BF16, round_up
+    n_pad = round_up(n, SUBLANE_BF16)
+    if n_pad != n:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+    for i in range(cfg.depth):
+        blk = jax.tree_util.tree_map(lambda a: a[i], qparams["blocks"])
+        x = _qblock_fast(x, blk, cfg, n_valid=n)
+    pooled = vit_mod._layernorm(x[:, :1], qparams["ln_f_scale"],
+                                qparams["ln_f_bias"], cfg.ln_eps)[:, 0]
+    return pooled.astype(jnp.float32) @ qparams["proj"]

@@ -21,6 +21,7 @@ importer, so published ViT checkpoints load directly.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -380,6 +381,132 @@ def _fused_embed(params: Params, images: jax.Array, cfg: ViTConfig,
                         posb)
 
 
+# ---------------------------------------------------------------------------
+# Stats-epilogue encoder chain (round 3): each fused kernel consumes the
+# previous half's LayerNorm (mu, rstd) stats and emits the next half's at
+# its tail — the consumer's VPU preamble loses its reductions, and the
+# producer's reductions overlap its tail MXU work (measured -0.21 ms /
+# 12 ViT-B layers, experiments/perf_attn_lnepi.py).  Math is bit-
+# identical to the per-kernel one-pass LN.  The chain carries a custom
+# VJP whose backward is the XLA-recompute of the whole encoder, so
+# accidental differentiation is correct (training proper uses the
+# per-block kernels with their native backward kernels — trainers force
+# safe_softmax=True, which routes off this chain).
+# ---------------------------------------------------------------------------
+
+
+def _stats_chain_mlp_vmem(cfg: ViTConfig, rows: int) -> Optional[int]:
+    """0 = default plan, MLP_BIG_VMEM = raised plan, None = ineligible
+    (mirrors _block's MLP dispatch decisions)."""
+    from ..ops.fused_mlp import (MLP_BIG_VMEM, mlp_fits_raised,
+                                 mlp_weight_chunks)
+    itemsize = 2 if cfg.dtype == "bfloat16" else 4
+    n_chunks = mlp_weight_chunks(cfg.hidden_dim, cfg.mlp_dim, itemsize)
+    if n_chunks == 1:
+        return 0
+    if (n_chunks > 1 and itemsize == 2 and rows >= 32768
+            and mlp_fits_raised(cfg.hidden_dim, cfg.mlp_dim, itemsize)):
+        return MLP_BIG_VMEM
+    return None
+
+
+def _stats_chain_supported(cfg: ViTConfig, batch: int) -> bool:
+    from ..ops.attn_block import attn_plan
+    from ..ops.common import LANE, round_up
+    if (jax.default_backend() != "tpu" or cfg.safe_softmax
+            or cfg.attn_impl not in ("auto", "pallas")
+            or cfg.mlp_impl not in ("auto", "pallas")
+            or cfg.remat or cfg.scan_blocks
+            or cfg.activation_sharding is not None):
+        return False
+    itemsize = 2 if cfg.dtype == "bfloat16" else 4
+    sub = 16 if itemsize == 2 else 8
+    n_pad = round_up(cfg.seq_len, sub)
+    kv_pad = round_up(cfg.seq_len, LANE)
+    plan = attn_plan(cfg.num_heads, cfg.hidden_dim, n_pad, kv_pad,
+                     itemsize, batch=batch)
+    if plan.n_sc < 1 or plan.reuse_q:
+        return False
+    return _stats_chain_mlp_vmem(cfg, batch * n_pad) is not None
+
+
+def _chain_act(cfg: ViTConfig) -> str:
+    act = cfg.hidden_act
+    if act == "gelu":
+        return "gelu_tanh"   # Mosaic has no erf; see _hidden_act
+    return act
+
+
+def _encoder_chain_xla(blocks, x, cfg: ViTConfig, n_valid: int):
+    """Exact reference of the chained encoder (for the VJP)."""
+    from ..ops.attn_block import attn_block_xla
+    from ..ops.fused_mlp import fused_mlp_xla
+    b, n_pad, d = x.shape
+    act = _chain_act(cfg)
+    for i in range(cfg.depth):
+        blk = jax.tree_util.tree_map(lambda a: a[i], blocks)
+        x = attn_block_xla(x, blk["ln1_scale"], blk["ln1_bias"],
+                           blk["wqkv"], blk["bqkv"], blk["wo"],
+                           blk["bo"], cfg.num_heads, cfg.ln_eps, n_valid)
+        t = fused_mlp_xla(x.reshape(b * n_pad, d), blk["ln2_scale"],
+                          blk["ln2_bias"], blk["w1"], blk["b1"],
+                          blk["w2"], blk["b2"], eps=cfg.ln_eps, act=act)
+        x = t.reshape(b, n_pad, d)
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _encoder_stats_chain(blocks, x, cfg: ViTConfig, n_valid: int,
+                         mlp_vmem: int):
+    from ..ops.attn_block import STATS_LANES, attn_block_stats_pallas
+    from ..ops.fused_mlp import fused_mlp_stats_pallas
+    b, n_pad, d = x.shape
+    act = _chain_act(cfg)
+    # initial LN1 stats (one cheap XLA pass over the embed output; XLA
+    # fuses it with the embed epilogue)
+    xf = x.reshape(b * n_pad, d).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+    st = jnp.zeros((b * n_pad, STATS_LANES), jnp.float32)
+    st = st.at[:, 0:1].set(mu)
+    st = st.at[:, 1:2].set(jax.lax.rsqrt(var + cfg.ln_eps))
+    st = st.reshape(b, n_pad, STATS_LANES)
+    for i in range(cfg.depth):
+        blk = jax.tree_util.tree_map(lambda a: a[i], blocks)
+        x, st = attn_block_stats_pallas(
+            x, st, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv"],
+            blk["bqkv"], blk["wo"], blk["bo"], cfg.num_heads,
+            eps=cfg.ln_eps, n_valid=n_valid, emit_stats=True)
+        last = i == cfg.depth - 1
+        t, st2 = fused_mlp_stats_pallas(
+            x.reshape(b * n_pad, d), st.reshape(b * n_pad, STATS_LANES),
+            blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
+            blk["w2"], blk["b2"], eps=cfg.ln_eps, act=act,
+            vmem_limit=mlp_vmem, emit_stats=not last)
+        x = t.reshape(b, n_pad, d)
+        if not last:
+            st = st2.reshape(b, n_pad, STATS_LANES)
+    return x
+
+
+def _encoder_stats_chain_fwd(blocks, x, cfg, n_valid, mlp_vmem):
+    return _encoder_stats_chain(blocks, x, cfg, n_valid, mlp_vmem), (
+        blocks, x)
+
+
+def _encoder_stats_chain_bwd(cfg, n_valid, mlp_vmem, res, g):
+    blocks, x = res
+    _, vjp = jax.vjp(
+        lambda bl, xx: _encoder_chain_xla(bl, xx, cfg, n_valid),
+        blocks, x)
+    return vjp(g)
+
+
+_encoder_stats_chain.defvjp(_encoder_stats_chain_fwd,
+                            _encoder_stats_chain_bwd)
+
+
 def _forward_features(params: Params, images: jax.Array,
                       cfg: ViTConfig) -> jax.Array:
     """Normalized images -> PRE-final-LN tokens (B, N+1, D); callers
@@ -416,6 +543,14 @@ def _forward_features(params: Params, images: jax.Array,
         x = x + params["pos_embed"].astype(dt)
         if n_pad != n:
             x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+
+    # stats-epilogue chain: the fused kernels pass LN stats between
+    # halves (see _encoder_stats_chain above) — the fast inference path
+    if _stats_chain_supported(cfg, x.shape[0]):
+        rows = x.shape[0] * n_pad
+        x = _encoder_stats_chain(params["blocks"], x, cfg, n,
+                                 _stats_chain_mlp_vmem(cfg, rows))
+        return x[:, :n]
 
     block_fn = partial(_block, cfg=cfg, n_valid=n)
     if cfg.remat:

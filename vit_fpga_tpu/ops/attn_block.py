@@ -356,6 +356,168 @@ def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
     return out[:, :n, :]
 
 
+# ---------------------------------------------------------------------------
+# Stats-epilogue variant (round 3; experiments/perf_attn_lnepi.py): the
+# kernel CONSUMES the previous half's LayerNorm (mu, rstd) stats — its
+# VPU preamble is elementwise, no reductions before the QKV GEMM — and
+# EMITS the next half's LN2 stats at its tail, where the reductions are
+# independent of the remaining out-projection MXU work.  Bit-identical
+# one-pass f32 stats on both sides; measured -0.21 ms / 12 ViT-B layers
+# for the AB chain.  Inference-only (models/vit.py wraps the chained
+# encoder in a whole-chain custom VJP); max-free softmax tiers with an
+# ao scratch only.
+# ---------------------------------------------------------------------------
+
+STATS_LANES = 128   # (rows, 128) f32 stats tile: col 0 = mu, col 1 = rstd
+
+
+def _attn_stats_kernel(x_ref, st_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
+                       wo_ref, bo_ref, o_ref, *rest, eps: float,
+                       scale: float, n_valid: int, n_pad: int,
+                       kv_pad: int, n_heads: int, dh: int, n_sc: int,
+                       imgs: int, emit_stats: bool):
+    if emit_stats:
+        sto_ref, qkv_ref, scores_ref, ao_ref = rest
+    else:
+        sto_ref = None
+        qkv_ref, scores_ref, ao_ref = rest
+    d = n_heads * dh
+    x = x_ref[:].reshape(imgs * n_pad, d)
+    xf = x.astype(jnp.float32)
+    mu = st_ref[:].reshape(imgs * n_pad, STATS_LANES)[:, 0:1]
+    rstd = st_ref[:].reshape(imgs * n_pad, STATS_LANES)[:, 1:2]
+    xn = ((xf - mu) * rstd * ls_ref[0] + lb_ref[0]).astype(x.dtype)
+    for b in range(imgs):
+        qkv_b = (jnp.dot(xn[b * n_pad:(b + 1) * n_pad], wqkv_ref[:],
+                         preferred_element_type=jnp.float32)
+                 + bqkv_ref[0]).astype(x.dtype)
+        if kv_pad != n_pad:
+            qkv_ref[b, :n_pad] = qkv_b
+            qkv_ref[b, n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d),
+                                           x.dtype)
+        else:
+            qkv_ref[b] = qkv_b
+    if n_valid < kv_pad:
+        coli = jax.lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
+        colbias = jnp.where(coli < n_valid, 0.0, _NEG_INF)
+    else:
+        colbias = None
+    q_scaled = (x.dtype != jnp.bfloat16
+                or math.frexp(scale)[0] == 0.5)
+    for b in range(imgs):
+        for g in range(0, n_heads, n_sc):
+            heads = range(g, min(g + n_sc, n_heads))
+            for h in heads:
+                q = qkv_ref[b, :n_pad, h * dh:(h + 1) * dh]
+                if q_scaled:
+                    q = q * x.dtype.type(scale)
+                k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
+                scores_ref[h - g] = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            for h in heads:
+                s = scores_ref[h - g]
+                if not q_scaled:
+                    s = s * scale
+                s = jnp.clip(s, _EXP_LO, _EXP_HI)
+                if colbias is not None:
+                    s = s + colbias
+                e = jnp.exp(s)
+                denom = jnp.sum(e, axis=-1, keepdims=True)
+                v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+                pv = jnp.dot(
+                    e.astype(x.dtype), v,
+                    preferred_element_type=jnp.float32)
+                ao_ref[b * n_pad:(b + 1) * n_pad,
+                       h * dh:(h + 1) * dh] = (
+                    pv * jax.lax.reciprocal(denom)).astype(x.dtype)
+    y = jnp.dot(ao_ref[:], wo_ref[:],
+                preferred_element_type=jnp.float32) + bo_ref[0]
+    out = x + y.astype(x.dtype)
+    o_ref[:] = out.reshape(imgs, n_pad, d)
+    if emit_stats:
+        of = out.astype(jnp.float32)
+        mu2 = jnp.mean(of, axis=-1, keepdims=True)
+        var2 = jnp.maximum(
+            jnp.mean(of * of, axis=-1, keepdims=True) - mu2 * mu2, 0.0)
+        rstd2 = jax.lax.rsqrt(var2 + eps)
+        sto_ref[:, :, 0:1] = mu2.reshape(imgs, n_pad, 1)
+        sto_ref[:, :, 1:2] = rstd2.reshape(imgs, n_pad, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "n_valid",
+                                             "emit_stats", "interpret"))
+def attn_block_stats_pallas(x, stats, ln_scale, ln_bias, wqkv, bqkv, wo,
+                            bo, num_heads: int, eps: float = 1e-6,
+                            n_valid: int | None = None,
+                            emit_stats: bool = True,
+                            interpret: bool = False):
+    """Stats-epilogue attention half: (x, stats) -> (out, stats_out|None).
+    ``stats`` is the (B, n_pad, STATS_LANES) f32 tile from the previous
+    half (col 0 = mu, col 1 = rstd of each token row)."""
+    b, n, d = x.shape
+    dh = d // num_heads
+    if n_valid is None:
+        n_valid = n
+    n_pad = round_up(n, _sublane(x.dtype))
+    kv_pad = round_up(n, LANE)
+    assert x.shape[1] == n_pad == stats.shape[1], (
+        "stats chain runs on padded-residency tokens")
+    plan = attn_plan(num_heads, d, n_pad, kv_pad, x.dtype.itemsize,
+                     batch=b)
+    if plan.n_sc < 1 or plan.reuse_q:
+        raise ValueError("stats-epilogue attention needs an ao-scratch "
+                         f"tier (d={d}, seq={n})")
+    imgs, n_sc = plan.imgs, plan.n_sc
+
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    xtile = pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    stile = pl.BlockSpec((imgs, n_pad, STATS_LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    out_specs = [xtile] + ([stile] if emit_stats else [])
+    out_shape = [jax.ShapeDtypeStruct((b, n_pad, d), x.dtype)] + (
+        [jax.ShapeDtypeStruct((b, n_pad, STATS_LANES), jnp.float32)]
+        if emit_stats else [])
+    outs = pl.pallas_call(
+        functools.partial(_attn_stats_kernel, eps=eps,
+                          scale=1.0 / (dh ** 0.5),
+                          n_valid=min(n_valid, n), n_pad=n_pad,
+                          kv_pad=kv_pad, n_heads=num_heads, dh=dh,
+                          n_sc=n_sc, imgs=imgs, emit_stats=emit_stats),
+        grid=(b // imgs,),
+        in_specs=[xtile, stile, const((1, d)), const((1, d)),
+                  const((d, 3 * d)), const((1, 3 * d)),
+                  const((d, d)), const((1, d))],
+        out_specs=out_specs if emit_stats else out_specs[0],
+        out_shape=out_shape if emit_stats else out_shape[0],
+        scratch_shapes=[
+            pltpu.VMEM((imgs, kv_pad, 3 * d), x.dtype),
+            pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32),
+            pltpu.VMEM((imgs * n_pad, d), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_pad * d * (3 * d + d)
+            + 4 * b * num_heads * n_pad * kv_pad * dh,
+            bytes_accessed=2 * b * n_pad * d * x.dtype.itemsize
+            + (4 * d * d + 3 * d * d) * 2,
+            transcendentals=b * num_heads * n_pad * kv_pad),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            **({"vmem_limit_bytes": plan.vmem_limit}
+               if plan.vmem_limit else {})),
+        interpret=interpret,
+    )(x, stats, ln_scale.reshape(1, -1).astype(jnp.float32),
+      ln_bias.reshape(1, -1).astype(jnp.float32),
+      wqkv.astype(x.dtype), bqkv.reshape(1, -1).astype(jnp.float32),
+      wo.astype(x.dtype), bo.reshape(1, -1).astype(jnp.float32))
+    if emit_stats:
+        return outs[0], outs[1]
+    return outs, None
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, num_heads: int,
                eps: float, n_valid: int | None = None,

@@ -198,6 +198,100 @@ def fused_mlp_chunked_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
     return acc[:t]
 
 
+# ---------------------------------------------------------------------------
+# Stats-epilogue variant (round 3, measured in experiments/perf_attn_lnepi
+# .py): the consumer's LayerNorm REDUCTIONS move to the producer kernel's
+# tail, where their VPU work is independent of the producer's remaining
+# MXU work; the consumer normalizes elementwise from the (mu, rstd) stats
+# tile.  Bit-identical math (both sides compute the same one-pass f32
+# stats), +0.5 MB/layer HBM.  AB-chained encoder measured 14.08 -> 13.88
+# ms / 12 ViT-B layers (all 4 A/B rounds consistent).  Inference-only:
+# models/vit.py wraps the chain in a whole-encoder custom VJP.
+# ---------------------------------------------------------------------------
+
+STATS_LANES = 128   # (rows, 128) f32 stats tile: col 0 = mu, col 1 = rstd
+
+
+def _mlp_stats_kernel(x_ref, st_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref, o_ref, *maybe_sto, eps: float, act: str,
+                      emit_stats: bool):
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mu = st_ref[:, 0:1]
+    rstd = st_ref[:, 1:2]
+    xn = ((xf - mu) * rstd * s_ref[0] + b_ref[0]).astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[:],
+                preferred_element_type=jnp.float32) + b1_ref[0]
+    h = _act(h, act).astype(x.dtype)
+    y = jnp.dot(h, w2_ref[:],
+                preferred_element_type=jnp.float32) + b2_ref[0]
+    out = x + y.astype(x.dtype)
+    o_ref[:] = out
+    if emit_stats:
+        of = out.astype(jnp.float32)
+        mu2 = jnp.mean(of, axis=-1, keepdims=True)
+        var2 = jnp.maximum(
+            jnp.mean(of * of, axis=-1, keepdims=True) - mu2 * mu2, 0.0)
+        maybe_sto[0][:, 0:1] = mu2
+        maybe_sto[0][:, 1:2] = jax.lax.rsqrt(var2 + eps)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
+                                             "vmem_limit", "emit_stats",
+                                             "interpret"))
+def fused_mlp_stats_pallas(x, stats, ln_scale, ln_bias, w1, b1, w2, b2,
+                           eps: float = 1e-6, act: str = "gelu",
+                           block_t: int = 512, vmem_limit: int = 0,
+                           emit_stats: bool = True,
+                           interpret: bool = False):
+    """Stats-epilogue fused MLP: consumes the producer's (mu, rstd) LN
+    stats (no in-kernel reductions before the GEMM), optionally emits the
+    NEXT attention half's LN stats.  Returns (out, stats_out|None)."""
+    t, d = x.shape
+    m = w1.shape[1]
+    tp = round_up(t, block_t)
+    if tp != t:
+        x = jnp.pad(x, ((0, tp - t), (0, 0)))
+        stats = jnp.pad(stats, ((0, tp - t), (0, 0)),
+                        constant_values=1.0)
+
+    tile = pl.BlockSpec((block_t, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    stile = pl.BlockSpec((block_t, STATS_LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    out_specs = [tile] + ([stile] if emit_stats else [])
+    out_shape = [jax.ShapeDtypeStruct((tp, d), x.dtype)] + (
+        [jax.ShapeDtypeStruct((tp, STATS_LANES), jnp.float32)]
+        if emit_stats else [])
+    outs = pl.pallas_call(
+        functools.partial(_mlp_stats_kernel, eps=eps, act=act,
+                          emit_stats=emit_stats),
+        grid=(tp // block_t,),
+        in_specs=[tile, stile, const((1, d)), const((1, d)),
+                  const((d, m)), const((1, m)), const((m, d)),
+                  const((1, d))],
+        out_specs=out_specs if emit_stats else out_specs[0],
+        out_shape=out_shape if emit_stats else out_shape[0],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * tp * d * m,
+            bytes_accessed=(2 * tp * d + 2 * d * m) * x.dtype.itemsize,
+            transcendentals=tp * m),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            **({"vmem_limit_bytes": vmem_limit} if vmem_limit else {})),
+        interpret=interpret,
+    )(x, stats, ln_scale.reshape(1, -1).astype(jnp.float32),
+      ln_bias.reshape(1, -1).astype(jnp.float32),
+      w1.astype(x.dtype), b1.reshape(1, -1).astype(jnp.float32),
+      w2.astype(x.dtype), b2.reshape(1, -1).astype(jnp.float32))
+    if emit_stats:
+        return outs[0][:t], outs[1][:t]
+    return outs[:t], None
+
+
 # Raised scoped-VMEM plan for the unchunked kernel at big-weight
 # geometries (CLIP-L/ViT-L: 16.8 MB of weights).  Measured: unchunked
 # @48MB beats the chunked kernel AND the XLA fallback at CLIP-L rows

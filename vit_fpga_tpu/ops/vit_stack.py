@@ -47,8 +47,10 @@ def _stack_kernel(x_ref, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
 
     # ---- attention half ----
     xf = x.astype(jnp.float32)
+    # one-pass LN variance, as in the per-layer kernels (attn_block.py)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
     xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * l1s[0]
           + l1b[0]).astype(x.dtype)
     qkv = (jnp.dot(xn, wqkv[0], preferred_element_type=jnp.float32)
@@ -100,7 +102,8 @@ def _stack_kernel(x_ref, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
     # ---- MLP half ----
     xf2 = xa.astype(jnp.float32)
     mu2 = jnp.mean(xf2, axis=-1, keepdims=True)
-    var2 = jnp.var(xf2, axis=-1, keepdims=True)
+    var2 = jnp.maximum(
+        jnp.mean(xf2 * xf2, axis=-1, keepdims=True) - mu2 * mu2, 0.0)
     xn2 = ((xf2 - mu2) * jax.lax.rsqrt(var2 + eps) * l2s[0]
            + l2b[0]).astype(x.dtype)
     h = jnp.dot(xn2, w1[0], preferred_element_type=jnp.float32) + b1[0]
@@ -244,7 +247,8 @@ def _stack_int8_kernel(x_ref, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
     x = tok[:]
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
     xn = (xf - mu) * jax.lax.rsqrt(var + eps) * l1s[0] + l1b[0]
     xq, sx = _row_quant(xn)
     acc = jax.lax.dot_general(xq, wqkv[0], (((1,), (0,)), ((), ())),
@@ -294,7 +298,8 @@ def _stack_int8_kernel(x_ref, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
 
     xf2 = xa.astype(jnp.float32)
     mu2 = jnp.mean(xf2, axis=-1, keepdims=True)
-    var2 = jnp.var(xf2, axis=-1, keepdims=True)
+    var2 = jnp.maximum(
+        jnp.mean(xf2 * xf2, axis=-1, keepdims=True) - mu2 * mu2, 0.0)
     xn2 = (xf2 - mu2) * jax.lax.rsqrt(var2 + eps) * l2s[0] + l2b[0]
     hq, sh = _row_quant(xn2)
     acc1 = jax.lax.dot_general(hq, w1[0], (((1,), (0,)), ((), ())),

@@ -41,7 +41,7 @@ def export_vit(out_dir: str, variant: str = "vit_b16",
     native-client artifact directory.  Returns ``out_dir``.
 
     Families: ViT variants (any ``models.vit`` name), ``clip_*`` vision
-    towers (embeddings out), and ``dtype="int8"`` ViT (the quantized
+    towers (embeddings out), and ``dtype="int8"`` for BOTH (the quantized
     mega-kernel path — weights exported already-quantized)."""
     import jax
     import jax.numpy as jnp
@@ -50,10 +50,6 @@ def export_vit(out_dir: str, variant: str = "vit_b16",
     from ..models import vit
 
     is_clip = variant.startswith("clip_")
-    if is_clip and dtype == "int8":
-        raise ValueError(
-            "int8 export supports the ViT classifier family only — "
-            "quantize_vit_fast has no CLIP ln_pre/projection mapping")
     if is_clip:
         from ..models import clip
         cfg = clip.clip_vision_config(variant.removeprefix("clip_"),
@@ -75,11 +71,18 @@ def export_vit(out_dir: str, variant: str = "vit_b16",
         out_cols = num_classes
     if dtype == "int8":
         from ..models import quantized
-        params = quantized.quantize_vit_fast(params)
+        if is_clip:
+            params = quantized.quantize_clip_vision_fast(params)
 
-        def model_fn(p, x):  # noqa: F811
-            return quantized.vit_forward_int8_fast(
-                p, vit.preprocess(x, cfg), cfg)
+            def model_fn(p, x):  # noqa: F811
+                return quantized.clip_forward_int8_fast(
+                    p, vit.preprocess(x, cfg), cfg)
+        else:
+            params = quantized.quantize_vit_fast(params)
+
+            def model_fn(p, x):  # noqa: F811
+                return quantized.vit_forward_int8_fast(
+                    p, vit.preprocess(x, cfg), cfg)
 
     img_spec = jax.ShapeDtypeStruct((batch, image_size, image_size, 3),
                                     jnp.uint8)
