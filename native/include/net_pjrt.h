@@ -48,6 +48,11 @@ struct Option {
   bool is_int = false;
 };
 
+// Create-options auto-detected from the plugin filename: the axon dev
+// plugin (tunneled chip) needs pool-mode options; a real libtpu.so
+// needs none.  Used by vft_pjrt_demo and the C FFI (net_pjrt_c.h).
+std::vector<Option> default_plugin_options(const std::string& plugin_path);
+
 // Thin RAII runtime: plugin + client + one addressable device.
 class Runtime {
  public:

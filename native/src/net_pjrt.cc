@@ -7,8 +7,10 @@
 #include "net_pjrt.h"
 
 #include <dlfcn.h>
+#include <unistd.h>
 
 #include <chrono>
+#include <cstdlib>
 #include <cstdio>
 #include <cstring>
 #include <fstream>
@@ -114,6 +116,27 @@ std::size_t dtype_size(const std::string& dtype) {
   if (dtype == "f32" || dtype == "i32") return 4;
   if (dtype == "bf16") return 2;
   return 1;
+}
+
+std::vector<Option> default_plugin_options(const std::string& plugin_path) {
+  std::vector<Option> options;
+  if (plugin_path.find("axon") == std::string::npos) return options;
+  // axon dev plugin (tunneled chip): pool-mode create options
+  const char* topo = std::getenv("PALLAS_AXON_TPU_GEN");
+  std::string topology =
+      std::string(topo != nullptr ? topo : "v5e") + ":1x1x1";
+  auto s = [](const char* k, std::string v) {
+    Option o; o.key = k; o.str = std::move(v); return o;
+  };
+  auto n = [](const char* k, std::int64_t v) {
+    Option o; o.key = k; o.i64 = v; o.is_int = true; return o;
+  };
+  options = {n("remote_compile", 1), n("local_only", 0),
+             n("priority", 0), s("topology", topology),
+             n("n_slices", 1),
+             s("session_id", "vft-native-" + std::to_string(::getpid())),
+             n("rank", 0xFFFFFFFFll)};
+  return options;
 }
 
 // ---------------------------------------------------------------------------

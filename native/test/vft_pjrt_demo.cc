@@ -45,25 +45,9 @@ int main(int argc, char** argv) {
   const int iters = opts.get<int>("iters", 3);
 
   // The axon dev plugin (tunneled chip) needs pool-mode create options;
-  // a real libtpu.so needs none.  Auto-detect by plugin filename.
-  std::vector<net::pjrt::Option> options;
-  if (plugin.find("axon") != std::string::npos) {
-    const char* topo = std::getenv("PALLAS_AXON_TPU_GEN");
-    std::string topology =
-        std::string(topo != nullptr ? topo : "v5e") + ":1x1x1";
-    auto s = [](const char* k, std::string v) {
-      net::pjrt::Option o; o.key = k; o.str = std::move(v); return o;
-    };
-    auto n = [](const char* k, std::int64_t v) {
-      net::pjrt::Option o; o.key = k; o.i64 = v; o.is_int = true; return o;
-    };
-    options = {n("remote_compile", 1), n("local_only", 0),
-               n("priority", 0), s("topology", topology),
-               n("n_slices", 1),
-               s("session_id",
-                 "vft-native-" + std::to_string(::getpid())),
-               n("rank", 0xFFFFFFFFll)};
-  }
+  // a real libtpu.so needs none.  Auto-detected by plugin filename.
+  std::vector<net::pjrt::Option> options =
+      net::pjrt::default_plugin_options(plugin);
 
   try {
     auto rt = std::make_shared<net::pjrt::Runtime>(plugin, options);

@@ -22,3 +22,12 @@ def test_cli_demo(capsys):
     out = capsys.readouterr().out
     assert "forward:" in out and "train:" in out and "pipeline:" in out
     assert "FIFO=[0, 1, 2, 3]" in out
+
+
+def test_cli_calibrate(capsys):
+    from vit_fpga_tpu.cli import main
+    rc = main(["calibrate", "model=vit_ti16", "image=32",
+               "dtype=float32"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "softmax mode:" in out

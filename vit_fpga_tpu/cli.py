@@ -7,6 +7,8 @@ Commands:
   bench   — ViT/CLIP throughput (same engine as the repo-root bench.py)
   parity  — oracle-vs-device parity report (f32, bf16, int8 paths)
   serve   — throughput test of the JPEG serving pipeline
+  export  — AOT-export a model dir for the native PJRT client
+  calibrate — softmax clip-window check for a checkpoint (utils/calibrate)
 """
 
 from __future__ import annotations
@@ -150,8 +152,32 @@ def cmd_export(opts: Options) -> int:
     return 0
 
 
+def cmd_calibrate(opts: Options) -> int:
+    """Measure a checkpoint's attention-score range and report whether
+    the max-free softmax fast path is safe for it (utils/calibrate.py).
+    ``ckpt=`` loads a save_params .npz; without it, a fresh init is
+    probed (illustrative)."""
+    import jax
+    from .models import vit
+    from .utils import calibrate
+    from .utils.checkpoint import load_params
+    cfg = vit.config(opts.get("model", str, "vit_b16"),
+                     image_size=opts.get("image", int, 224),
+                     dtype=opts.get("dtype", str, "bfloat16"))
+    ckpt = opts.get("ckpt", str, "")
+    params = (load_params(ckpt) if ckpt
+              else vit.init_params(jax.random.key(0), cfg))
+    res = calibrate.choose_softmax_mode(params, cfg)
+    print(f"score range: [{res.score_min:.1f}, {res.score_max:.1f}]  "
+          f"per-layer max: {np.round(res.per_layer_max, 1).tolist()}")
+    print(f"softmax mode: {res.mode}"
+          + ("  (set ViTConfig.safe_softmax=True)" if res.safe else ""))
+    return 0
+
+
 COMMANDS = {"demo": cmd_demo, "bench": cmd_bench, "parity": cmd_parity,
-            "serve": cmd_serve, "export": cmd_export}
+            "serve": cmd_serve, "export": cmd_export,
+            "calibrate": cmd_calibrate}
 
 
 def main(argv=None) -> int:

@@ -84,6 +84,18 @@ def forward(params: Params, images: jax.Array,
         if n_pad != n:
             x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
 
+        # stats-epilogue chain (see models/vit.py): fused kernels pass
+        # LN stats between halves — CLIP-L lands in the 2-image
+        # ao-scratch tier + raised-VMEM MLP, both chain-eligible
+        if vit_mod._stats_chain_supported(cfg, x.shape[0]):
+            rows = x.shape[0] * n_pad
+            x = vit_mod._encoder_stats_chain(
+                params["blocks"], x, cfg, n,
+                vit_mod._stats_chain_mlp_vmem(cfg, rows))
+            pooled = vit_mod._layernorm(x[:, 0], params["ln_f_scale"],
+                                        params["ln_f_bias"], cfg.ln_eps)
+            return pooled.astype(jnp.float32) @ params["proj"]
+
         block_fn = partial(vit_mod._block, cfg=cfg, n_valid=n)
         if cfg.remat:
             block_fn = jax.checkpoint(block_fn)

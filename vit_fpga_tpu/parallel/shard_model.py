@@ -253,6 +253,27 @@ def _forward_local(params: Params, images: jax.Array, cfg: vit.ViTConfig,
     sub = 16 if dt == jnp.bfloat16 else 8
     n_pad = round_up(n, sub)
 
+    if tp == 1 and impl in ("pallas", "xla"):
+        # no tensor-parallel splits: each dp shard runs the FULL
+        # single-device dispatch (fused embed, stats-epilogue chain,
+        # tiered kernels) on its local batch — dp is embarrassingly
+        # parallel, so the best single-chip path is the right body
+        l = cfg.depth
+        pcanon = {**params, "blocks": {
+            **params["blocks"],
+            "wqkv": params["blocks"]["wqkv"].reshape(l, d, 3 * d),
+            "bqkv": params["blocks"]["bqkv"].reshape(l, 3 * d)}}
+        toks = vit._forward_features(pcanon, images, cfg)
+        if cfg.pool == "cls":
+            pooled = vit._layernorm(toks[:, :1], params["ln_f_scale"],
+                                    params["ln_f_bias"], cfg.ln_eps)[:, 0]
+        else:
+            feats = vit._layernorm(toks, params["ln_f_scale"],
+                                   params["ln_f_bias"], cfg.ln_eps)
+            pooled = feats[:, cfg.num_prefix_tokens:].mean(axis=1)
+        return (pooled.astype(jnp.float32) @ params["head"]["kernel"]
+                + params["head"]["bias"])
+
     from ..ops.patch_embed import embed_tokens_fits
     if impl == "pallas" and embed_tokens_fits(
             n_pad, cfg.patch_size ** 2 * 3, d,
@@ -276,12 +297,6 @@ def _forward_local(params: Params, images: jax.Array, cfg: vit.ViTConfig,
 
     def block(x, blk):
         b = x.shape[0]
-        if tp == 1 and impl in ("pallas", "xla"):
-            # full-width fused block (native backward kernels on TPU)
-            return vit._block(x, {**blk,
-                                  "wqkv": blk["wqkv"].reshape(d, 3 * d),
-                                  "bqkv": blk["bqkv"].reshape(3 * d)},
-                              cfg, n_valid=n)
         wqkv = blk["wqkv"].reshape(d, 3 * blk["wqkv"].shape[-1])
         bqkv = blk["bqkv"].reshape(3 * blk["bqkv"].shape[-1])
         y = attn_partial(x, blk["ln1_scale"], blk["ln1_bias"], wqkv, bqkv,
