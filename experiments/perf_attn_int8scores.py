@@ -136,3 +136,169 @@ if __name__ == "__main__":
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/repo/.jax_cache")
     main()
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: the full int8-scores attention-half kernel (S) vs the
+# production int8 kernel (I), 12-layer stacks at ViT-B b64 geometry.
+# Design (accuracy-probed above): row-quant q (softmax scale folded
+# pre-quant) and k -> rank-1 score dequant; max-subtract softmax -> p in
+# (0,1] quantized at FIXED 1/127; v quantized per column per image ->
+# rank-1 PV dequant (sv folded into ao before the out-proj quant).
+# ---------------------------------------------------------------------------
+
+
+def _s_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+              wo_ref, so_ref, bo_ref, o_ref, qkv_ref, qs_ref, sv_ref,
+              scores_ref, ao_ref):
+    x = x_ref[:].reshape(IMGS * N_PAD, D)
+    xn = qb._ln_f32(x, ls_ref, lb_ref, EPS)
+    xq, sx = qb._row_quant(xn)
+    for b in range(IMGS):
+        r0, r1 = b * N_PAD, (b + 1) * N_PAD
+        acc = jax.lax.dot_general(xq[r0:r1], wqkv_ref[:],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        qkv_f = acc.astype(jnp.float32) * (sx[r0:r1] * sqkv_ref[0]) \
+            + bqkv_ref[0]
+        qf = qkv_f[:, :D] * SCALE
+        kf = qkv_f[:, D:2 * D]
+        vf = qkv_f[:, 2 * D:]
+        qq, sq = qb._row_quant(qf)
+        kq, sk = qb._row_quant(kf)
+        vmax = jnp.maximum(jnp.max(jnp.abs(vf), axis=0, keepdims=True),
+                           1e-12)
+        sv = vmax / QMAX
+        vq = jnp.clip(jnp.rint(vf / sv), -QMAX, QMAX).astype(jnp.int8)
+        qkv_ref[b, :N_PAD, :D] = qq
+        qkv_ref[b, :N_PAD, D:2 * D] = kq
+        qkv_ref[b, :N_PAD, 2 * D:] = vq
+        qkv_ref[b, N_PAD:] = jnp.zeros((KV - N_PAD, 3 * D), jnp.int8)
+        qs_ref[b, :N_PAD, 0:1] = sq
+        qs_ref[b, :N_PAD, 1:2] = sk
+        qs_ref[b, N_PAD:, :] = jnp.zeros((KV - N_PAD, 128), jnp.float32)
+        sv_ref[b, 0:1, :] = sv
+    colbias = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, KV), 1) < N, 0.0, NEG)
+    for b in range(IMGS):
+        sq_col = qs_ref[b, :N_PAD, 0:1]
+        sk_row = qs_ref[b, :, 1:2].reshape(1, KV)
+        for g in range(0, H, NSC):
+            heads = range(g, min(g + NSC, H))
+            for h in heads:
+                qh = qkv_ref[b, :N_PAD, h * DH:(h + 1) * DH]
+                kh = qkv_ref[b, :, D + h * DH:D + (h + 1) * DH]
+                scores_ref[h - g] = jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+            for h in heads:
+                s = scores_ref[h - g] * sq_col * sk_row + colbias
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                denom = jnp.sum(e, axis=-1, keepdims=True)
+                pq = jnp.rint(e * QMAX).astype(jnp.int8)
+                vh = qkv_ref[b, :, 2 * D + h * DH:2 * D + (h + 1) * DH]
+                acc = jax.lax.dot_general(
+                    pq, vh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                ao_ref[b * N_PAD:(b + 1) * N_PAD,
+                       h * DH:(h + 1) * DH] = (
+                    acc.astype(jnp.float32)
+                    * jax.lax.reciprocal(denom * QMAX))
+    # fold per-column v scales, then the production int8 out-projection
+    src = ao_ref[:]
+    parts = []
+    for b in range(IMGS):
+        parts.append(src[b * N_PAD:(b + 1) * N_PAD] * sv_ref[b, 0:1, :])
+    srcf = jnp.concatenate(parts, axis=0)
+    aoq, sa = qb._row_quant(srcf)
+    acc_o = jax.lax.dot_general(aoq, wo_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    y = acc_o.astype(jnp.float32) * (sa * so_ref[0]) + bo_ref[0]
+    o_ref[:] = (x + y.astype(x.dtype)).reshape(IMGS, N_PAD, D)
+
+
+def main_s():
+    rng = np.random.default_rng(0)
+    xr = rng.normal(size=(B, N_PAD, D)) * 0.5
+    xr[:, N:, :] = 0.0   # padded-residency tail rows are zero
+    x = jnp.asarray(xr, jnp.bfloat16)
+    ls = jnp.ones((1, D), jnp.float32)
+    lb = jnp.zeros((1, D), jnp.float32)
+    wq, wqs = quantize_weight_colwise(
+        rng.normal(size=(D, 3 * D)).astype(np.float32) * 0.05)
+    wo, wos = quantize_weight_colwise(
+        rng.normal(size=(D, D)).astype(np.float32) * 0.05)
+    wq, wqs, wo, wos = map(jnp.asarray, (wq, wqs, wo, wos))
+    bq = jnp.zeros((1, 3 * D), jnp.float32)
+    bo = jnp.zeros((1, D), jnp.float32)
+
+    def _const(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    xtile = pl.BlockSpec((IMGS, N_PAD, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def s_call(x):
+        return pl.pallas_call(
+            _s_kernel, grid=(B // IMGS,),
+            in_specs=[xtile, _const((1, D)), _const((1, D)),
+                      _const((D, 3 * D)), _const((1, 3 * D)),
+                      _const((1, 3 * D)), _const((D, D)),
+                      _const((1, D)), _const((1, D))],
+            out_specs=xtile,
+            out_shape=jax.ShapeDtypeStruct((B, N_PAD, D), jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM((IMGS, KV, 3 * D), jnp.int8),
+                pltpu.VMEM((IMGS, KV, 128), jnp.float32),
+                pltpu.VMEM((IMGS, 8, D), jnp.float32),
+                pltpu.VMEM((NSC, N_PAD, KV), jnp.float32),
+                pltpu.VMEM((IMGS * N_PAD, D), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=VMEM48),
+        )(x, ls, lb, wq, jnp.reshape(wqs, (1, -1)), bq, wo,
+          jnp.reshape(wos, (1, -1)), bo)
+
+    @jax.jit
+    def stack_I(x):
+        for _ in range(12):
+            x = qb.attn_block_int8(
+                x, ls.reshape(-1), lb.reshape(-1), wq, wqs, bq.reshape(-1),
+                wo, wos, bo.reshape(-1), H, eps=EPS, n_valid=N)
+        return x
+
+    @jax.jit
+    def stack_S(x):
+        for _ in range(12):
+            x = s_call(x)
+        return x
+
+    # parity vs the production int8 kernel (both approximate the same
+    # f32 math; difference = score/PV quantization noise)
+    a = np.asarray(stack_I(x[:, :N, :].astype(jnp.bfloat16)), np.float32) \
+        if False else None
+    ref1 = np.asarray(qb.attn_block_int8(
+        x[:, :N, :], ls.reshape(-1), lb.reshape(-1), wq, wqs,
+        bq.reshape(-1), wo, wos, bo.reshape(-1), H, eps=EPS),
+        np.float32)
+    got1 = np.asarray(s_call(x)[:, :N, :], np.float32)
+    cos = (ref1 * got1).sum() / (np.linalg.norm(ref1)
+                                 * np.linalg.norm(got1) + 1e-9)
+    print(f"S vs I single-layer cosine: {cos:.6f}", flush=True)
+
+    for rnd in range(4):
+        tI = time_device_loop_single(stack_I, (x,), n=8)
+        tS = time_device_loop_single(stack_S, (x,), n=8)
+        print(f"round {rnd}: I {tI * 1e3:7.3f} ms  S {tS * 1e3:7.3f} ms "
+              f" d={1e3 * (tI - tS):+6.3f}", flush=True)
+
+
+if __name__ == "__main__" and "S" in sys.argv[1:]:
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/repo/.jax_cache")
+    main_s()
+    sys.exit(0)

@@ -377,89 +377,93 @@ def test_stats_chain_full_model_parity_on_hw():
 
 def test_pjrt_c_ffi_on_hw(tmp_path):
     """The C FFI over the native PJRT client (net_pjrt_c.h): blocking
-    forward + the async ring, driven through ctypes — any language with
-    a C FFI can run the TPU client with zero Python in the data path."""
-    import ctypes
-    lib_path = os.path.join(os.path.dirname(__file__),
-                            "../native/build/libnet_pjrt.so")
+    forward + the async ring, driven through ctypes from a clean
+    subprocess (a second in-process PJRT client would contend with this
+    test runner's own axon session) — any language with a C FFI can run
+    the TPU client with zero Python in the data path."""
+    import subprocess
+    lib_path = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "../native/build/libnet_pjrt.so"))
     if not os.path.exists(lib_path):
         pytest.skip("native build not present")
     plugin = os.environ.get("VFT_PJRT_PLUGIN", "/opt/axon/libaxon_pjrt.so")
     if not os.path.exists(plugin):
         pytest.skip(f"no PJRT plugin at {plugin}")
-    os.environ.setdefault("AXON_POOL_SVC_OVERRIDE", "127.0.0.1")
-    os.environ.setdefault("AXON_LOOPBACK_RELAY", "1")
-    os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
     from vit_fpga_tpu.ops.image_filter import filter_image_numpy
     from vit_fpga_tpu.utils.export_pjrt import export_filter
     filt_dir = export_filter(str(tmp_path / "filter"), 256, 384,
                              "sharpen")
+    img = np.random.default_rng(3).integers(0, 256, (256, 384), np.uint8)
+    ref = filter_image_numpy(img, "sharpen")
+    np.save(tmp_path / "img.npy", img)
+    np.save(tmp_path / "ref.npy", ref)
 
-    lib = ctypes.CDLL(lib_path)
-    lib.vft_pjrt_load.restype = ctypes.c_void_p
-    lib.vft_pjrt_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
-    lib.vft_pjrt_input_nbytes.argtypes = [ctypes.c_void_p]
-    lib.vft_pjrt_input_nbytes.restype = ctypes.c_size_t
-    lib.vft_pjrt_output_nbytes.argtypes = [ctypes.c_void_p]
-    lib.vft_pjrt_output_nbytes.restype = ctypes.c_size_t
-    lib.vft_pjrt_forward.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                                     ctypes.c_size_t, ctypes.c_void_p,
-                                     ctypes.c_size_t]
-    lib.vft_pjrt_stream_create.restype = ctypes.c_void_p
-    lib.vft_pjrt_stream_create.argtypes = [ctypes.c_void_p,
-                                           ctypes.c_size_t]
-    lib.vft_pjrt_stream_submit.argtypes = [ctypes.c_void_p,
-                                           ctypes.c_void_p,
-                                           ctypes.c_size_t]
-    lib.vft_pjrt_stream_fetch.argtypes = [ctypes.c_void_p,
-                                          ctypes.c_void_p,
-                                          ctypes.c_size_t]
-    lib.vft_pjrt_last_error.restype = ctypes.c_char_p
-    lib.vft_pjrt_model_destroy.argtypes = [ctypes.c_void_p]
-    lib.vft_pjrt_stream_destroy.argtypes = [ctypes.c_void_p]
-
-    m = lib.vft_pjrt_load(plugin.encode(), filt_dir.encode())
-    assert m, lib.vft_pjrt_last_error()
-    try:
-        n_in = lib.vft_pjrt_input_nbytes(m)
-        n_out = lib.vft_pjrt_output_nbytes(m)
-        assert n_in == 256 * 384 and n_out == 256 * 384
-        img = np.random.default_rng(3).integers(
-            0, 256, (256, 384), np.uint8)
-        out = np.zeros_like(img)
-        rc = lib.vft_pjrt_forward(
-            m, img.ctypes.data_as(ctypes.c_void_p), n_in,
-            out.ctypes.data_as(ctypes.c_void_p), n_out)
-        assert rc == 0, lib.vft_pjrt_last_error()
-        ref = filter_image_numpy(img, "sharpen")
-        np.testing.assert_array_equal(out, ref)
-
-        # async ring: submit 6 frames through a depth-4 ring
-        s = lib.vft_pjrt_stream_create(m, 4)
-        assert s, lib.vft_pjrt_last_error()
-        try:
-            fetched = 0
-            for _ in range(6):
-                while lib.vft_pjrt_stream_submit(
-                        s, img.ctypes.data_as(ctypes.c_void_p),
-                        n_in) != 1:
-                    got = np.zeros_like(img)
-                    rc = lib.vft_pjrt_stream_fetch(
-                        s, got.ctypes.data_as(ctypes.c_void_p), n_out)
-                    assert rc == 1
-                    np.testing.assert_array_equal(got, ref)
-                    fetched += 1
-            while True:
-                got = np.zeros_like(img)
-                rc = lib.vft_pjrt_stream_fetch(
-                    s, got.ctypes.data_as(ctypes.c_void_p), n_out)
-                if rc == 0:
-                    break
-                assert rc == 1
-                np.testing.assert_array_equal(got, ref)
-                fetched += 1
-            assert fetched == 6
-        finally:
-            lib.vft_pjrt_stream_destroy(s)
-    finally:
-        lib.vft_pjrt_model_destroy(m)
+    driver = f"""
+import ctypes, sys
+import numpy as np
+lib = ctypes.CDLL({lib_path!r})
+lib.vft_pjrt_load.restype = ctypes.c_void_p
+lib.vft_pjrt_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+for name, args, res in [
+    ("vft_pjrt_input_nbytes", [ctypes.c_void_p], ctypes.c_size_t),
+    ("vft_pjrt_output_nbytes", [ctypes.c_void_p], ctypes.c_size_t),
+    ("vft_pjrt_forward", [ctypes.c_void_p, ctypes.c_void_p,
+                          ctypes.c_size_t, ctypes.c_void_p,
+                          ctypes.c_size_t], ctypes.c_int),
+    ("vft_pjrt_stream_create", [ctypes.c_void_p, ctypes.c_size_t],
+     ctypes.c_void_p),
+    ("vft_pjrt_stream_submit", [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_size_t], ctypes.c_int),
+    ("vft_pjrt_stream_fetch", [ctypes.c_void_p, ctypes.c_void_p,
+                               ctypes.c_size_t], ctypes.c_int),
+    ("vft_pjrt_stream_destroy", [ctypes.c_void_p], None),
+    ("vft_pjrt_model_destroy", [ctypes.c_void_p], None),
+    ("vft_pjrt_last_error", [], ctypes.c_char_p)]:
+    fn = getattr(lib, name); fn.argtypes = args; fn.restype = res
+img = np.load({str(tmp_path / "img.npy")!r})
+ref = np.load({str(tmp_path / "ref.npy")!r})
+m = lib.vft_pjrt_load({plugin!r}.encode(), {filt_dir!r}.encode())
+assert m, lib.vft_pjrt_last_error()
+n_in = lib.vft_pjrt_input_nbytes(m)
+n_out = lib.vft_pjrt_output_nbytes(m)
+assert n_in == 256 * 384 and n_out == 256 * 384, (n_in, n_out)
+out = np.zeros_like(img)
+rc = lib.vft_pjrt_forward(m, img.ctypes.data_as(ctypes.c_void_p), n_in,
+                          out.ctypes.data_as(ctypes.c_void_p), n_out)
+assert rc == 0, lib.vft_pjrt_last_error()
+np.testing.assert_array_equal(out, ref)
+s = lib.vft_pjrt_stream_create(m, 4)
+assert s, lib.vft_pjrt_last_error()
+fetched = 0
+for _ in range(6):
+    while lib.vft_pjrt_stream_submit(
+            s, img.ctypes.data_as(ctypes.c_void_p), n_in) != 1:
+        got = np.zeros_like(img)
+        assert lib.vft_pjrt_stream_fetch(
+            s, got.ctypes.data_as(ctypes.c_void_p), n_out) == 1
+        np.testing.assert_array_equal(got, ref)
+        fetched += 1
+while True:
+    got = np.zeros_like(img)
+    rc = lib.vft_pjrt_stream_fetch(
+        s, got.ctypes.data_as(ctypes.c_void_p), n_out)
+    if rc == 0:
+        break
+    assert rc == 1
+    np.testing.assert_array_equal(got, ref)
+    fetched += 1
+assert fetched == 6, fetched
+lib.vft_pjrt_stream_destroy(s)
+lib.vft_pjrt_model_destroy(m)
+print("C FFI OK")
+"""
+    env = dict(os.environ,
+               AXON_POOL_SVC_OVERRIDE=os.environ.get(
+                   "AXON_POOL_SVC_OVERRIDE", "127.0.0.1"),
+               AXON_LOOPBACK_RELAY="1",
+               TPU_WORKER_HOSTNAMES=os.environ.get(
+                   "TPU_WORKER_HOSTNAMES", "localhost"))
+    run = subprocess.run([os.sys.executable, "-c", driver], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert run.returncode == 0, (run.stdout[-1000:], run.stderr[-2000:])
+    assert "C FFI OK" in run.stdout
