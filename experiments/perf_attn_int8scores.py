@@ -74,7 +74,7 @@ def main():
                                       out_t=out_t),
                     out_shape=jax.ShapeDtypeStruct((m, n), out_t),
                 )(a, bmat)
-                a = a + out[:1, :k].astype(a.dtype) * 0
+                a = a + (out[:1, :1] * 0).astype(a.dtype)
             return out
 
         f = jax.jit(run)

@@ -37,11 +37,23 @@ def main():
     err = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
     print(f"parity plain vs shard_map: rel err {err:.2e}", flush=True)
 
+    # pass params through the timing loop as ARGS (closure constants
+    # exceed the tunnel's remote-compile request limit)
+    pl_leaves, pl_def = jax.tree_util.tree_flatten(params)
+    sh_leaves, sh_def = jax.tree_util.tree_flatten(ptp)
+
+    def plain_fn(*a):
+        return plain(jax.tree_util.tree_unflatten(pl_def, a[:-1]), a[-1])
+
+    def shard_fn(*a):
+        return sharded(jax.tree_util.tree_unflatten(sh_def, a[:-1]),
+                       a[-1])
+
     for rnd in range(4):
-        tp_ = time_device_loop_single(lambda x: plain(params, x),
-                                      (images,), n=8)
-        ts = time_device_loop_single(lambda x: sharded(ptp, x),
-                                     (images,), n=8)
+        tp_ = time_device_loop_single(plain_fn,
+                                      tuple(pl_leaves) + (images,), n=8)
+        ts = time_device_loop_single(shard_fn,
+                                     tuple(sh_leaves) + (images,), n=8)
         print(f"round {rnd}: plain {tp_ * 1e3:7.3f} ms  "
               f"shard_map {ts * 1e3:7.3f} ms  "
               f"overhead {100 * (ts / tp_ - 1):+.2f}%", flush=True)
