@@ -67,6 +67,40 @@ def test_stats_chain_kernels_match_standalone():
                                rtol=0, atol=0)
 
 
+def test_chunked_stats_mlp_matches_standalone():
+    """fused_mlp_chunked_stats_pallas == fused_mlp_pallas (chunk math is
+    exact: h-column chunks are disjoint), and its emitted stats equal
+    direct stats of the output."""
+    from vit_fpga_tpu.ops.fused_mlp import fused_mlp_chunked_stats_pallas
+    rng = np.random.default_rng(2)
+    t, d, m = 64, 64, 256
+    x = jnp.asarray(rng.normal(size=(t, d)) * 0.5, jnp.float32)
+    ls = jnp.asarray(rng.normal(size=(d,)) * 0.1 + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, m)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(m,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(m, d)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    st = jnp.asarray(_stats_of(np.asarray(x)))
+
+    want = fused_mlp_pallas(x, ls, lb, w1, b1, w2, b2, act="gelu_tanh",
+                            interpret=True)
+    got, sto = fused_mlp_chunked_stats_pallas(
+        x, st, ls, lb, w1, b1, w2, b2, act="gelu_tanh", n_chunks=4,
+        emit_stats=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    ref_st = _stats_of(np.asarray(got))
+    np.testing.assert_allclose(np.asarray(sto)[:, :2], ref_st[:, :2],
+                               rtol=1e-4, atol=1e-5)
+    got2, none = fused_mlp_chunked_stats_pallas(
+        x, st, ls, lb, w1, b1, w2, b2, act="gelu_tanh", n_chunks=4,
+        emit_stats=False, interpret=True)
+    assert none is None
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got),
+                               rtol=0, atol=0)
+
+
 def test_stats_chain_gating():
     """The chain only engages on TPU with max-free softmax and unchunked
     MLP; CPU / safe_softmax / remat configs route off it."""

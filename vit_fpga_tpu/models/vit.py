@@ -396,8 +396,10 @@ def _fused_embed(params: Params, images: jax.Array, cfg: ViTConfig,
 
 
 def _stats_chain_mlp_vmem(cfg: ViTConfig, rows: int) -> Optional[int]:
-    """0 = default plan, MLP_BIG_VMEM = raised plan, None = ineligible
-    (mirrors _block's MLP dispatch decisions)."""
+    """MLP plan for the stats chain: 0 = default unchunked plan,
+    MLP_BIG_VMEM = raised-VMEM unchunked plan, a NEGATIVE value -n =
+    chunked stats kernel with n chunks, None = ineligible (mirrors
+    _block's MLP dispatch decisions)."""
     from ..ops.fused_mlp import (MLP_BIG_VMEM, mlp_fits_raised,
                                  mlp_weight_chunks)
     itemsize = 2 if cfg.dtype == "bfloat16" else 4
@@ -407,6 +409,12 @@ def _stats_chain_mlp_vmem(cfg: ViTConfig, rows: int) -> Optional[int]:
     if (n_chunks > 1 and itemsize == 2 and rows >= 32768
             and mlp_fits_raised(cfg.hidden_dim, cfg.mlp_dim, itemsize)):
         return MLP_BIG_VMEM
+    if n_chunks > 1:
+        # big-weight, few-row geometries (ViT-L@384 b16): chunked stats
+        # kernel — saves the per-chunk LN reductions the plain chunked
+        # path recomputes (measured +0.9% img/s, consistent sign 4/4
+        # rounds vs the XLA-MLP dispatch, perf_l384_chain.py)
+        return -n_chunks
     return None
 
 
@@ -459,7 +467,8 @@ def _encoder_chain_xla(blocks, x, cfg: ViTConfig, n_valid: int):
 def _encoder_stats_chain(blocks, x, cfg: ViTConfig, n_valid: int,
                          mlp_vmem: int):
     from ..ops.attn_block import STATS_LANES, attn_block_stats_pallas
-    from ..ops.fused_mlp import fused_mlp_stats_pallas
+    from ..ops.fused_mlp import (fused_mlp_chunked_stats_pallas,
+                                 fused_mlp_stats_pallas)
     b, n_pad, d = x.shape
     act = _chain_act(cfg)
     # initial LN1 stats (one cheap XLA pass over the embed output; XLA
@@ -479,11 +488,20 @@ def _encoder_stats_chain(blocks, x, cfg: ViTConfig, n_valid: int,
             blk["bqkv"], blk["wo"], blk["bo"], cfg.num_heads,
             eps=cfg.ln_eps, n_valid=n_valid, emit_stats=True)
         last = i == cfg.depth - 1
-        t, st2 = fused_mlp_stats_pallas(
-            x.reshape(b * n_pad, d), st.reshape(b * n_pad, STATS_LANES),
-            blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
-            blk["w2"], blk["b2"], eps=cfg.ln_eps, act=act,
-            vmem_limit=mlp_vmem, emit_stats=not last)
+        if mlp_vmem < 0:   # chunked stats kernel (-n = n chunks)
+            t, st2 = fused_mlp_chunked_stats_pallas(
+                x.reshape(b * n_pad, d),
+                st.reshape(b * n_pad, STATS_LANES),
+                blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
+                blk["w2"], blk["b2"], eps=cfg.ln_eps, act=act,
+                n_chunks=-mlp_vmem, emit_stats=not last)
+        else:
+            t, st2 = fused_mlp_stats_pallas(
+                x.reshape(b * n_pad, d),
+                st.reshape(b * n_pad, STATS_LANES),
+                blk["ln2_scale"], blk["ln2_bias"], blk["w1"], blk["b1"],
+                blk["w2"], blk["b2"], eps=cfg.ln_eps, act=act,
+                vmem_limit=mlp_vmem, emit_stats=not last)
         x = t.reshape(b, n_pad, d)
         if not last:
             st = st2.reshape(b, n_pad, STATS_LANES)

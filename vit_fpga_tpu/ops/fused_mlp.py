@@ -292,6 +292,109 @@ def fused_mlp_stats_pallas(x, stats, ln_scale, ln_bias, w1, b1, w2, b2,
     return outs[:t], None
 
 
+def _mlp_chunk_stats_kernel(x_ref, base_ref, st_ref, s_ref, b_ref, w1_ref,
+                            b1_ref, w2_ref, b2_ref, o_ref, *maybe_sto,
+                            eps: float, act: str, add_b2: bool,
+                            emit_stats: bool):
+    """Chunked-MLP chunk consuming producer LN stats (and, on the last
+    chunk, emitting the next attention half's stats from the final
+    accumulated output).  The plain chunked kernel recomputes the LN
+    reductions once PER CHUNK; here every chunk normalizes elementwise
+    from the (mu, rstd) tile — the chunked path saves n_chunks× the
+    reduction work the unchunked stats kernel saves once."""
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mu = st_ref[:, 0:1]
+    rstd = st_ref[:, 1:2]
+    xn = ((xf - mu) * rstd * s_ref[0] + b_ref[0]).astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[:],
+                preferred_element_type=jnp.float32) + b1_ref[0]
+    h = _act(h, act).astype(x.dtype)
+    y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    if add_b2:
+        y = y + b2_ref[0]
+    out = base_ref[:] + y.astype(x.dtype)
+    o_ref[:] = out
+    if emit_stats:
+        of = out.astype(jnp.float32)
+        mu2 = jnp.mean(of, axis=-1, keepdims=True)
+        var2 = jnp.maximum(
+            jnp.mean(of * of, axis=-1, keepdims=True) - mu2 * mu2, 0.0)
+        maybe_sto[0][:, 0:1] = mu2
+        maybe_sto[0][:, 1:2] = jax.lax.rsqrt(var2 + eps)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
+                                             "n_chunks", "emit_stats",
+                                             "interpret"))
+def fused_mlp_chunked_stats_pallas(x, stats, ln_scale, ln_bias, w1, b1,
+                                   w2, b2, eps: float = 1e-6,
+                                   act: str = "gelu", block_t: int = 256,
+                                   n_chunks: int = 2,
+                                   emit_stats: bool = True,
+                                   interpret: bool = False):
+    """Stats-epilogue chunked fused MLP (big-weight geometries whose rows
+    are too few for the raised-VMEM unchunked kernel — e.g. ViT-L@384
+    b16).  Returns (out, stats_out|None)."""
+    t, d = x.shape
+    m = w1.shape[1]
+    assert m % n_chunks == 0, (m, n_chunks)
+    mc = m // n_chunks
+    tp = round_up(t, block_t)
+    if tp != t:
+        x = jnp.pad(x, ((0, tp - t), (0, 0)))
+        stats = jnp.pad(stats, ((0, tp - t), (0, 0)), constant_values=1.0)
+    w1 = w1.astype(x.dtype)
+    w2 = w2.astype(x.dtype)
+    ln_scale = ln_scale.reshape(1, -1).astype(jnp.float32)
+    ln_bias = ln_bias.reshape(1, -1).astype(jnp.float32)
+    b1 = b1.reshape(1, -1).astype(jnp.float32)
+    b2 = b2.reshape(1, -1).astype(jnp.float32)
+
+    tile = pl.BlockSpec((block_t, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    stile = pl.BlockSpec((block_t, STATS_LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    acc, st_out = x, None
+    for c in range(n_chunks):
+        last = c == n_chunks - 1
+        emit = emit_stats and last
+        out_specs = [tile] + ([stile] if emit else [])
+        out_shape = [jax.ShapeDtypeStruct((tp, d), x.dtype)] + (
+            [jax.ShapeDtypeStruct((tp, STATS_LANES), jnp.float32)]
+            if emit else [])
+        outs = pl.pallas_call(
+            functools.partial(_mlp_chunk_stats_kernel, eps=eps, act=act,
+                              add_b2=last, emit_stats=emit),
+            grid=(tp // block_t,),
+            in_specs=[tile, tile, stile, const((1, d)), const((1, d)),
+                      const((d, mc)), const((1, mc)),
+                      const((mc, d)), const((1, d))],
+            out_specs=out_specs if emit else out_specs[0],
+            out_shape=out_shape if emit else out_shape[0],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * tp * d * mc,
+                bytes_accessed=(3 * tp * d + 2 * d * mc)
+                * x.dtype.itemsize,
+                transcendentals=tp * mc),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(x, acc, stats, ln_scale, ln_bias,
+          w1[:, c * mc:(c + 1) * mc], b1[:, c * mc:(c + 1) * mc],
+          w2[c * mc:(c + 1) * mc, :], b2)
+        if emit:
+            acc, st_out = outs
+        else:
+            acc = outs
+    if emit_stats:
+        return acc[:t], st_out[:t]
+    return acc[:t], None
+
+
 # Raised scoped-VMEM plan for the unchunked kernel at big-weight
 # geometries (CLIP-L/ViT-L: 16.8 MB of weights).  Measured: unchunked
 # @48MB beats the chunked kernel AND the XLA fallback at CLIP-L rows
