@@ -467,3 +467,31 @@ print("C FFI OK")
                          capture_output=True, text=True, timeout=900)
     assert run.returncode == 0, (run.stdout[-1000:], run.stderr[-2000:])
     assert "C FFI OK" in run.stdout
+
+
+def test_chunked_stats_chain_vit_l_on_hw():
+    """Big-weight, few-row geometries (ViT-L) route the stats chain onto
+    the CHUNKED stats MLP kernel (plan = -n_chunks); full-model parity
+    vs the XLA-block forward on device."""
+    import dataclasses
+    import jax.numpy as jnp
+    from vit_fpga_tpu.models import vit
+    rng = np.random.default_rng(13)
+    cfg = vit.config("vit_l16", dtype="bfloat16")
+    assert vit._stats_chain_supported(cfg, 2)
+    n_pad = (cfg.seq_len + 15) // 16 * 16
+    assert vit._stats_chain_mlp_vmem(cfg, 2 * n_pad) == -2
+    params = vit.init_params(jax.random.key(0), cfg)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jnp.asarray(rng.normal(size=p.shape),
+                                         p.dtype), params)
+    images = jnp.asarray(rng.normal(size=(2, 224, 224, 3)), jnp.float32)
+    got = np.asarray(vit.forward(params, images, cfg), np.float32)
+    ref_cfg = dataclasses.replace(cfg, attn_impl="xla", mlp_impl="xla")
+    want = np.asarray(vit.forward(params, images, ref_cfg), np.float32)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 0.03
+    num = (got * want).sum(-1)
+    den = (np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+           + 1e-9)
+    assert (num / den).min() > 0.999

@@ -409,11 +409,15 @@ def _stats_chain_mlp_vmem(cfg: ViTConfig, rows: int) -> Optional[int]:
     if (n_chunks > 1 and itemsize == 2 and rows >= 32768
             and mlp_fits_raised(cfg.hidden_dim, cfg.mlp_dim, itemsize)):
         return MLP_BIG_VMEM
-    if n_chunks > 1:
-        # big-weight, few-row geometries (ViT-L@384 b16): chunked stats
+    if n_chunks == 2:
+        # big-weight, few-row geometries (ViT-L family): chunked stats
         # kernel — saves the per-chunk LN reductions the plain chunked
-        # path recomputes (measured +0.9% img/s, consistent sign 4/4
-        # rounds vs the XLA-MLP dispatch, perf_l384_chain.py)
+        # path recomputes (measured +0.9% img/s at vit_l16@384 b16 and
+        # +0.7% at the CLIP-L geometry, 4/4 rounds each,
+        # perf_l384_chain.py / perf_chain_smallrows.py).  At n_chunks=4
+        # (ViT-H) the chain LOSES 4/4 — each extra chunk re-reads the
+        # token + residual tiles, outweighing the saved reductions — so
+        # those geometries keep the per-layer dispatch.
         return -n_chunks
     return None
 
