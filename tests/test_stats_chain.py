@@ -135,3 +135,76 @@ def test_encoder_chain_xla_matches_block_loop():
     got = vit._encoder_chain_xla(params["blocks"], x, cfg, 17)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_int8_stats_chain_kernels_match_standalone():
+    """attn_block_int8_stats / mlp_block_int8_stats == the plain int8
+    mega-kernels exactly (same quantized math; LN normalize runs
+    elementwise from the producer (mu, rstd) tile)."""
+    from vit_fpga_tpu.ops.quant_block import (attn_block_int8,
+                                              attn_block_int8_stats,
+                                              mlp_block_int8,
+                                              mlp_block_int8_stats)
+    from vit_fpga_tpu.ops.quant_fused import quantize_weight_colwise as qc
+    rng = np.random.default_rng(3)
+    b, n, d, nh, m = 2, 32, 64, 2, 128
+    x = jnp.asarray(rng.normal(size=(b, n, d)) * 0.5, jnp.float32)
+    ls = jnp.ones((d,)); lb = jnp.zeros((d,))
+
+    def q(shape, scale=0.1):
+        wq, ws = qc(rng.normal(size=shape).astype(np.float32) * scale)
+        return jnp.asarray(wq), jnp.asarray(ws)
+
+    wqkv_q, wqkv_s = q((d, 3 * d))
+    bqkv = jnp.zeros((3 * d,))
+    wo_q, wo_s = q((d, d))
+    bo = jnp.zeros((d,))
+    st = jnp.asarray(_stats_of(np.asarray(x).reshape(-1, d))
+                     .reshape(b, n, STATS_LANES))
+
+    want = attn_block_int8(x, ls, lb, wqkv_q, wqkv_s, bqkv, wo_q, wo_s,
+                           bo, nh, n_valid=28, interpret=True)
+    got, sto = attn_block_int8_stats(x, st, ls, lb, wqkv_q, wqkv_s, bqkv,
+                                     wo_q, wo_s, bo, nh, n_valid=28,
+                                     emit_stats=True, interpret=True)
+    # ULP-level: (xf-mu)*rstd may fuse differently from rsqrt inline
+    np.testing.assert_allclose(np.asarray(got[:, :n]),
+                               np.asarray(want[:, :n]), rtol=1e-4,
+                               atol=1e-5)
+    ref_st = _stats_of(np.asarray(got).reshape(-1, d))
+    np.testing.assert_allclose(
+        np.asarray(sto).reshape(-1, STATS_LANES)[:, :2], ref_st[:, :2],
+        rtol=1e-4, atol=1e-5)
+
+    w1_q, w1_s = q((d, m))
+    b1 = jnp.zeros((m,))
+    w2_q, w2_s = q((m, d))
+    b2 = jnp.zeros((d,))
+    want2 = mlp_block_int8(got.reshape(b * n, d), ls, lb, w1_q, w1_s, b1,
+                           w2_q, w2_s, b2, act="gelu_tanh",
+                           interpret=True)
+    got2, st2 = mlp_block_int8_stats(
+        got.reshape(b * n, d), sto.reshape(b * n, STATS_LANES), ls, lb,
+        w1_q, w1_s, b1, w2_q, w2_s, b2, act="gelu_tanh", emit_stats=True,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-4, atol=1e-5)
+    ref_st2 = _stats_of(np.asarray(got2))
+    np.testing.assert_allclose(np.asarray(st2)[:, :2], ref_st2[:, :2],
+                               rtol=1e-4, atol=1e-5)
+    got3, none = mlp_block_int8_stats(
+        got.reshape(b * n, d), sto.reshape(b * n, STATS_LANES), ls, lb,
+        w1_q, w1_s, b1, w2_q, w2_s, b2, act="gelu_tanh", emit_stats=False,
+        interpret=True)
+    assert none is None
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(got2),
+                               rtol=0, atol=0)
+
+
+def test_int8_stats_chain_gating():
+    """The int8 chain engages only on TPU with fitting mega-kernels."""
+    from vit_fpga_tpu.models import vit
+    from vit_fpga_tpu.models.quantized import _int8_stats_chain_supported
+    cfg = vit.config("vit_b16", dtype="bfloat16")
+    # CPU backend in this suite: never supported off-TPU
+    assert not _int8_stats_chain_supported(cfg, 64)

@@ -236,6 +236,73 @@ def _int8_block_fits(cfg: vit_mod.ViTConfig) -> bool:
     return attn_ok and mlp_ok
 
 
+_INT8_STATS_CHAIN = False   # measured LOSS — see docstring below
+
+
+def _int8_stats_chain_supported(cfg: vit_mod.ViTConfig,
+                                batch: int) -> bool:
+    """Whether the int8 stats-epilogue chain may run: needs both
+    mega-kernels plus the attention ao-scratch tier AT THIS BATCH (the
+    stats kernel writes PV results to a separate scratch; q-slot reuse
+    would alias the stats epilogue).
+
+    DISABLED by default (_INT8_STATS_CHAIN): measured 4/4-round LOSS at
+    ViT-B b64 (10.8 -> 11.0 ms, experiments/perf_int8_chain.py).  The
+    chain moves each LN reduction into the producer's epilogue where it
+    must hide behind tail MXU work — the int8 halves have HALF the MXU
+    time of bf16, so the epilogue is exposed, and the (rows, 128) f32
+    stats tile adds HBM traffic both ways.  The kernels stay available
+    (tested in interpret mode) as the measured record."""
+    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    from ..ops.quant_block import score_slots_int8
+    if (not _INT8_STATS_CHAIN or jax.default_backend() != "tpu"
+            or not _int8_block_fits(cfg)):
+        return False
+    n_pad = round_up(cfg.seq_len, SUBLANE_BF16)
+    kv_pad = round_up(cfg.seq_len, LANE)
+    _, n_sc, reuse_q, _ = score_slots_int8(cfg.num_heads, cfg.hidden_dim,
+                                           n_pad, kv_pad, batch=batch)
+    return n_sc >= 1 and not reuse_q
+
+
+def _encoder_int8_stats_chain(x, blocks, cfg: vit_mod.ViTConfig,
+                              n_valid: int):
+    """Int8 encoder with LN (mu, rstd) stats passed between halves —
+    the int8 halves are VPU-bound, so deleting each half's reduction
+    preamble attacks the binding resource (see the bf16 chain,
+    vit._encoder_stats_chain)."""
+    from ..ops.attn_block import STATS_LANES
+    from ..ops.quant_block import (attn_block_int8_stats,
+                                   mlp_block_int8_stats)
+    b, n_pad, d = x.shape
+    act = "quick_gelu" if cfg.hidden_act == "quick_gelu" else "gelu_tanh"
+    xf = x.reshape(b * n_pad, d).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+    st = jnp.zeros((b * n_pad, STATS_LANES), jnp.float32)
+    st = st.at[:, 0:1].set(mu)
+    st = st.at[:, 1:2].set(jax.lax.rsqrt(var + cfg.ln_eps))
+    st = st.reshape(b, n_pad, STATS_LANES)
+    for i in range(cfg.depth):
+        blk = jax.tree_util.tree_map(lambda a: a[i], blocks)
+        x, st = attn_block_int8_stats(
+            x, st, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv_q"],
+            blk["wqkv_s"], blk["bqkv"], blk["wo_q"], blk["wo_s"],
+            blk["bo"], cfg.num_heads, eps=cfg.ln_eps, n_valid=n_valid,
+            emit_stats=True)
+        last = i == cfg.depth - 1
+        t, st2 = mlp_block_int8_stats(
+            x.reshape(b * n_pad, d), st.reshape(b * n_pad, STATS_LANES),
+            blk["ln2_scale"], blk["ln2_bias"], blk["w1_q"], blk["w1_s"],
+            blk["b1"], blk["w2_q"], blk["w2_s"], blk["b2"],
+            eps=cfg.ln_eps, act=act, emit_stats=not last)
+        x = t.reshape(b, n_pad, d)
+        if not last:
+            st = st2.reshape(b, n_pad, STATS_LANES)
+    return x
+
+
 def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig,
                  n_valid: int | None = None):
     b, n, d = x.shape
@@ -294,6 +361,8 @@ def vit_forward_int8_fast(qparams: Params, images: jax.Array,
                 else cfg.remat)
     if use_scan:
         x, _ = jax.lax.scan(step, x, qparams["blocks"])
+    elif _int8_stats_chain_supported(cfg, x.shape[0]):
+        x = _encoder_int8_stats_chain(x, qparams["blocks"], cfg, n)
     else:   # unrolled: measured faster (see ViTConfig.scan_blocks)
         for i in range(cfg.depth):
             blk = jax.tree_util.tree_map(lambda a: a[i],
@@ -385,9 +454,13 @@ def clip_forward_int8_fast(qparams: Params, images: jax.Array,
     n_pad = round_up(n, SUBLANE_BF16)
     if n_pad != n:
         x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
-    for i in range(cfg.depth):
-        blk = jax.tree_util.tree_map(lambda a: a[i], qparams["blocks"])
-        x = _qblock_fast(x, blk, cfg, n_valid=n)
+    if _int8_stats_chain_supported(cfg, x.shape[0]):
+        x = _encoder_int8_stats_chain(x, qparams["blocks"], cfg, n)
+    else:
+        for i in range(cfg.depth):
+            blk = jax.tree_util.tree_map(lambda a: a[i],
+                                         qparams["blocks"])
+            x = _qblock_fast(x, blk, cfg, n_valid=n)
     pooled = vit_mod._layernorm(x[:, :1], qparams["ln_f_scale"],
                                 qparams["ln_f_bias"], cfg.ln_eps)[:, 0]
     return pooled.astype(jnp.float32) @ qparams["proj"]

@@ -323,3 +323,254 @@ def attn_block_int8_ref(x, ln_scale, ln_bias, wqkvq, wqkvs, bqkv, woq, wos,
     y = int8_linear_rowwise_ref(
         o.reshape(b * n, d).astype(jnp.float32), woq, wos, bo)
     return x + y.reshape(b, n, d).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Stats-epilogue variants (round 3): the int8 halves are VPU-bound (the
+# int8 MXU runs 2x while quant/LN/softmax VPU work stays), so removing
+# each half's LN reduction preamble attacks the binding resource
+# directly.  Same contract as the bf16 chain (ops/attn_block.py
+# attn_block_stats_pallas / ops/fused_mlp.py fused_mlp_stats_pallas):
+# consume the producer's (mu, rstd) stats tile, normalize elementwise,
+# emit stats of this half's output from registers in the epilogue where
+# the reduction overlaps the tail GEMM.
+# ---------------------------------------------------------------------------
+
+def _mlp_int8_stats_kernel(x_ref, st_ref, ls_ref, lb_ref, w1_ref, s1_ref,
+                           b1_ref, w2_ref, s2_ref, b2_ref, o_ref,
+                           *maybe_sto, eps: float, act: str,
+                           emit_stats: bool):
+    from .attn_block import STATS_LANES  # noqa: F401  (lane layout doc)
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mu = st_ref[:, 0:1]
+    rstd = st_ref[:, 1:2]
+    xn = (xf - mu) * rstd * ls_ref[0] + lb_ref[0]
+    xq, sx = _row_quant(xn)
+    acc1 = jax.lax.dot_general(xq, w1_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    h = acc1.astype(jnp.float32) * (sx * s1_ref[0]) + b1_ref[0]
+    h = _apply_act(h, act)
+    hq, sh = _row_quant(h)
+    acc2 = jax.lax.dot_general(hq, w2_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    y = acc2.astype(jnp.float32) * (sh * s2_ref[0]) + b2_ref[0]
+    out = x + y.astype(x.dtype)
+    o_ref[:] = out
+    if emit_stats:
+        of = out.astype(jnp.float32)
+        mu2 = jnp.mean(of, axis=-1, keepdims=True)
+        var2 = jnp.maximum(
+            jnp.mean(of * of, axis=-1, keepdims=True) - mu2 * mu2, 0.0)
+        maybe_sto[0][:, 0:1] = mu2
+        maybe_sto[0][:, 1:2] = jax.lax.rsqrt(var2 + eps)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
+                                             "emit_stats", "interpret"))
+def mlp_block_int8_stats(x, stats, ln_scale, ln_bias, w1q, w1s, b1, w2q,
+                         w2s, b2, eps: float = 1e-6,
+                         act: str = "gelu_tanh", block_t: int = 256,
+                         emit_stats: bool = True,
+                         interpret: bool = False):
+    """Stats-epilogue int8 MLP half: (x, stats) -> (out, stats_out|None).
+    ``stats`` is the (T, STATS_LANES) f32 tile from the producer half
+    (col 0 = mu, col 1 = rstd per token row)."""
+    from .attn_block import STATS_LANES
+    t, d = x.shape
+    m = w1q.shape[1]
+    tp = round_up(t, block_t)
+    if tp != t:
+        x = jnp.pad(x, ((0, tp - t), (0, 0)))
+        stats = jnp.pad(stats, ((0, tp - t), (0, 0)), constant_values=1.0)
+
+    tile = pl.BlockSpec((block_t, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    stile = pl.BlockSpec((block_t, STATS_LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    out_specs = [tile] + ([stile] if emit_stats else [])
+    out_shape = [jax.ShapeDtypeStruct((tp, d), x.dtype)] + (
+        [jax.ShapeDtypeStruct((tp, STATS_LANES), jnp.float32)]
+        if emit_stats else [])
+    outs = pl.pallas_call(
+        functools.partial(_mlp_int8_stats_kernel, eps=eps, act=act,
+                          emit_stats=emit_stats),
+        grid=(tp // block_t,),
+        in_specs=[tile, stile, const((1, d)), const((1, d)),
+                  const((d, m)), const((1, m)), const((1, m)),
+                  const((m, d)), const((1, d)), const((1, d))],
+        out_specs=out_specs if emit_stats else out_specs[0],
+        out_shape=out_shape if emit_stats else out_shape[0],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * tp * d * m,
+            bytes_accessed=2 * tp * d * x.dtype.itemsize + 2 * d * m,
+            transcendentals=2 * tp * m),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x, stats, ln_scale.reshape(1, -1).astype(jnp.float32),
+      ln_bias.reshape(1, -1).astype(jnp.float32),
+      w1q, w1s.reshape(1, -1).astype(jnp.float32),
+      b1.reshape(1, -1).astype(jnp.float32),
+      w2q, w2s.reshape(1, -1).astype(jnp.float32),
+      b2.reshape(1, -1).astype(jnp.float32))
+    if emit_stats:
+        return outs[0][:t], outs[1][:t]
+    return outs[:t], None
+
+
+def _attn_int8_stats_kernel(x_ref, st_ref, ls_ref, lb_ref, wqkv_ref,
+                            sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
+                            o_ref, *rest, eps: float, scale: float,
+                            n_valid: int, n_pad: int, kv_pad: int,
+                            n_heads: int, dh: int, n_sc: int, imgs: int,
+                            emit_stats: bool):
+    from .attn_block import STATS_LANES
+    if emit_stats:
+        sto_ref, qkv_ref, scores_ref, ao_ref = rest
+    else:
+        sto_ref = None
+        qkv_ref, scores_ref, ao_ref = rest
+    d = n_heads * dh
+    x = x_ref[:].reshape(imgs * n_pad, d)
+    xf = x.astype(jnp.float32)
+    mu = st_ref[:].reshape(imgs * n_pad, STATS_LANES)[:, 0:1]
+    rstd = st_ref[:].reshape(imgs * n_pad, STATS_LANES)[:, 1:2]
+    xn = (xf - mu) * rstd * ls_ref[0] + lb_ref[0]
+    xq, sx = _row_quant(xn)
+    for b in range(imgs):
+        r0, r1 = b * n_pad, (b + 1) * n_pad
+        acc = jax.lax.dot_general(xq[r0:r1], wqkv_ref[:],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        qkv_b = (acc.astype(jnp.float32) * (sx[r0:r1] * sqkv_ref[0])
+                 + bqkv_ref[0]).astype(x.dtype)
+        if kv_pad != n_pad:
+            qkv_ref[b, :n_pad] = qkv_b
+            qkv_ref[b, n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d),
+                                           x.dtype)
+        else:
+            qkv_ref[b] = qkv_b
+    if n_valid < kv_pad:
+        coli = jax.lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
+        colbias = jnp.where(coli < n_valid, 0.0, _NEG_INF)
+    else:
+        colbias = None
+    q_scaled = (x.dtype != jnp.bfloat16 or math.frexp(scale)[0] == 0.5)
+    for b in range(imgs):
+        for g in range(0, n_heads, n_sc):
+            heads = range(g, min(g + n_sc, n_heads))
+            for h in heads:
+                q = qkv_ref[b, :n_pad, h * dh:(h + 1) * dh]
+                if q_scaled:
+                    q = q * x.dtype.type(scale)
+                k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
+                scores_ref[h - g] = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            for h in heads:
+                s = scores_ref[h - g]
+                if not q_scaled:
+                    s = s * scale
+                s = jnp.clip(s, _EXP_LO, _EXP_HI)
+                if colbias is not None:
+                    s = s + colbias
+                e = jnp.exp(s)
+                denom = jnp.sum(e, axis=-1, keepdims=True)
+                v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+                pv = jnp.dot(e.astype(x.dtype), v,
+                             preferred_element_type=jnp.float32)
+                ao_ref[b * n_pad:(b + 1) * n_pad,
+                       h * dh:(h + 1) * dh] = (
+                    pv * jax.lax.reciprocal(denom)).astype(x.dtype)
+    aoq, sa = _row_quant(ao_ref[:].astype(jnp.float32))
+    acc_o = jax.lax.dot_general(aoq, wo_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    y = acc_o.astype(jnp.float32) * (sa * so_ref[0]) + bo_ref[0]
+    out = x + y.astype(x.dtype)
+    o_ref[:] = out.reshape(imgs, n_pad, d)
+    if emit_stats:
+        of = out.astype(jnp.float32)
+        mu2 = jnp.mean(of, axis=-1, keepdims=True)
+        var2 = jnp.maximum(
+            jnp.mean(of * of, axis=-1, keepdims=True) - mu2 * mu2, 0.0)
+        sto_ref[:, :, 0:1] = mu2.reshape(imgs, n_pad, 1)
+        sto_ref[:, :, 1:2] = jax.lax.rsqrt(
+            var2 + eps).reshape(imgs, n_pad, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "n_valid",
+                                             "emit_stats", "interpret"))
+def attn_block_int8_stats(x, stats, ln_scale, ln_bias, wqkvq, wqkvs, bqkv,
+                          woq, wos, bo, num_heads: int, eps: float = 1e-6,
+                          n_valid: int | None = None,
+                          emit_stats: bool = True,
+                          interpret: bool = False):
+    """Stats-epilogue int8 attention half: (x, stats) ->
+    (out, stats_out|None).  Requires the ao-scratch tier (reuse_q off)."""
+    from .attn_block import STATS_LANES
+    b, n, d = x.shape
+    dh = d // num_heads
+    if n_valid is None:
+        n_valid = n
+    sub = SUBLANE_BF16 if x.dtype == jnp.bfloat16 else SUBLANE_F32
+    n_pad = round_up(n, sub)
+    kv_pad = round_up(n, LANE)
+    assert x.shape[1] == n_pad == stats.shape[1], (
+        "int8 stats chain runs on padded-residency tokens")
+    imgs, n_sc, reuse_q, vmem_limit = score_slots_int8(
+        num_heads, d, n_pad, kv_pad, batch=b)
+    if n_sc < 1 or reuse_q:
+        raise ValueError("int8 stats-epilogue attention needs an "
+                         f"ao-scratch tier (d={d}, seq={n})")
+
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    xtile = pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    stile = pl.BlockSpec((imgs, n_pad, STATS_LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    out_specs = [xtile] + ([stile] if emit_stats else [])
+    out_shape = [jax.ShapeDtypeStruct((b, n_pad, d), x.dtype)] + (
+        [jax.ShapeDtypeStruct((b, n_pad, STATS_LANES), jnp.float32)]
+        if emit_stats else [])
+    outs = pl.pallas_call(
+        functools.partial(_attn_int8_stats_kernel, eps=eps,
+                          scale=1.0 / (dh ** 0.5),
+                          n_valid=min(n_valid, n), n_pad=n_pad,
+                          kv_pad=kv_pad, n_heads=num_heads, dh=dh,
+                          n_sc=n_sc, imgs=imgs, emit_stats=emit_stats),
+        grid=(b // imgs,),
+        in_specs=[xtile, stile, const((1, d)), const((1, d)),
+                  const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
+                  const((d, d)), const((1, d)), const((1, d))],
+        out_specs=out_specs if emit_stats else out_specs[0],
+        out_shape=out_shape if emit_stats else out_shape[0],
+        scratch_shapes=[
+            pltpu.VMEM((imgs, kv_pad, 3 * d), x.dtype),
+            pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32),
+            pltpu.VMEM((imgs * n_pad, d), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_pad * d * (3 * d + d)
+            + 4 * b * num_heads * n_pad * kv_pad * dh,
+            bytes_accessed=2 * b * n_pad * d * x.dtype.itemsize
+            + 4 * d * d,
+            transcendentals=b * num_heads * n_pad * kv_pad),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            **({"vmem_limit_bytes": vmem_limit} if vmem_limit else {})),
+        interpret=interpret,
+    )(x, stats, ln_scale.reshape(1, -1).astype(jnp.float32),
+      ln_bias.reshape(1, -1).astype(jnp.float32),
+      wqkvq, wqkvs.reshape(1, -1).astype(jnp.float32),
+      bqkv.reshape(1, -1).astype(jnp.float32),
+      woq, wos.reshape(1, -1).astype(jnp.float32),
+      bo.reshape(1, -1).astype(jnp.float32))
+    if emit_stats:
+        return outs[0][:, :], outs[1]
+    return outs, None
