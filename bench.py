@@ -48,8 +48,13 @@ def main(argv):
     batch = opts.get("batch", int, 1 if mode == "latency" else 64)
     image = opts.get("image", int, 224)
     dtype = opts.get("dtype", str, "bfloat16")
-    iters = opts.get("iters", int, 10)
-    inner = opts.get("inner", int, 8)
+    # Latency mode chains many more calls per loop: at ~200 us/call the
+    # default 10-call slope is ~2 ms of signal against ~30 ms of tunnel
+    # RTT jitter, and the conservative contention guard then inflates
+    # the report (measured: int8 b1 read 252 us with short loops vs a
+    # stable 167 us at n=256 — experiments/perf_int8_lat_ablate.py).
+    iters = opts.get("iters", int, 224 if mode == "latency" else 10)
+    inner = opts.get("inner", int, 32 if mode == "latency" else 8)
     attn = opts.get("attn", str, "auto")
     json_only = opts.get("json_only", bool, True)
 
@@ -127,6 +132,10 @@ def main(argv):
                 def fwd(p, x):  # noqa: F811
                     return _clipm.forward_latency(p, x, cfg)
         else:
+            # NOT the one-kernel forward_latency_logits: fusing embed +
+            # head into the stack kernel LOSES 10-25 us bf16 / ties int8
+            # (experiments/perf_full_stack.py) — the separate launches
+            # overlap, the fused stages serialize into the grid.
             from vit_fpga_tpu.models.vit import (forward_latency,
                                                  latency_forward_supported)
             if latency_forward_supported(cfg, batch):

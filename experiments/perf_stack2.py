@@ -186,8 +186,8 @@ def main():
     err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-6)
     print(f"stack2 parity: rel err {err:.2e}", flush=True)
     for rnd in range(4):
-        tA = time_device_loop_single(fA, args, n=16)
-        tB = time_device_loop_single(fB, args, n=16)
+        tA = time_device_loop_single(fA, args, n=256)
+        tB = time_device_loop_single(fB, args, n=256)
         print(f"round {rnd}: 1/step {tA * 1e6:7.1f} us  "
               f"2/step {tB * 1e6:7.1f} us  d={1e6 * (tA - tB):+6.1f}",
               flush=True)

@@ -319,6 +319,35 @@ def test_latency_forward_parity_on_hw():
     assert np.abs(got - ref).max() / scale < 0.02
 
 
+def test_full_latency_logits_parity_on_hw():
+    """The ONE-kernel forward (embed + layers + head in a single
+    pallas_call) matches the per-layer forward's logits on device, in
+    both bf16 and int8."""
+    import jax.numpy as jnp
+    from vit_fpga_tpu.models import quantized, vit
+    cfg = vit.config("vit_b16", image_size=224, dtype="bfloat16")
+    assert vit.full_latency_supported(cfg, 1)
+    params = jax.device_put(vit.init_params(jax.random.key(0), cfg))
+    imgs = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 224, 224, 3)), jnp.float32)
+    ref = np.asarray(vit.forward(params, imgs, cfg), np.float32)
+    got = np.asarray(vit.forward_latency_logits(params, imgs, cfg),
+                     np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() / scale < 0.02
+
+    qp = jax.device_put(quantized.quantize_vit_fast(params))
+    assert quantized.full_int8_latency_supported(qp, cfg, 1)
+    gi = np.asarray(
+        quantized.vit_forward_int8_latency_logits(qp, imgs, cfg),
+        np.float32)
+    # int8 vs f32 reference: cosine similarity over logits
+    cos = float((gi * ref).sum()
+                / (np.linalg.norm(gi) * np.linalg.norm(ref) + 1e-9))
+    assert cos > 0.99, cos
+
+
 def test_pjrt_native_stream_ring_on_hw(tmp_path):
     """The async in-flight execution ring (net::pjrt::Stream — the
     reference's 24-slot event chain done natively on TPU): frames

@@ -415,6 +415,86 @@ def vit_forward_int8_latency(qparams: Params, images: jax.Array,
         jnp.float32)
 
 
+def full_int8_latency_supported(qparams: Params, cfg: vit_mod.ViTConfig,
+                                batch: int) -> bool:
+    """Gate for :func:`vit_forward_int8_latency_logits`."""
+    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    from ..ops.vit_stack import stack_full_plan
+    if (cfg.pool != "cls" or cfg.num_prefix_tokens != 1
+            or batch > 4 or "head" not in qparams
+            or cfg.num_classes < 1):
+        return False
+    n_pad = round_up(cfg.seq_len, SUBLANE_BF16)
+    kv_pad = round_up(cfg.seq_len, LANE)
+    p3 = cfg.patch_size * cfg.patch_size * 3
+    cls_pad = round_up(cfg.num_classes, LANE)
+    return stack_full_plan(cfg.num_heads, cfg.hidden_dim, cfg.mlp_dim,
+                           n_pad, kv_pad, batch, p3, cls_pad, 1) >= 2
+
+
+def prep_full_int8_latency(qparams: Params,
+                           cfg: vit_mod.ViTConfig) -> Params:
+    """One-time fold for :func:`vit_forward_int8_latency_logits` (posb
+    table + 128-padded int8 head); call outside the per-request jit."""
+    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    n, d = cfg.seq_len, cfg.hidden_dim
+    npre = cfg.num_prefix_tokens
+    n_pad = round_up(n, SUBLANE_BF16)
+    pe = qparams["patch_embed"]
+    pos = qparams["pos_embed"][0].astype(jnp.float32)
+    pre = qparams["cls_token"][0].astype(jnp.float32)
+    posb = jnp.concatenate([
+        pre + pos[:npre],
+        pos[npre:] + pe["b"].astype(jnp.float32),
+        jnp.zeros((n_pad - n, d), jnp.float32),
+    ], axis=0)
+    ncls = cfg.num_classes
+    cls_pad = round_up(ncls, LANE)
+    hd = qparams["head"]
+    return {
+        "wpq": pe["wq"],
+        "wps": pe["ws"],
+        "posb": posb,
+        "blocks": qparams["blocks"],
+        "lfs": qparams["ln_f_scale"],
+        "lfb": qparams["ln_f_bias"],
+        "whq": jnp.pad(hd["wq"], [(0, 0), (0, cls_pad - ncls)]),
+        "whs": jnp.pad(hd["ws"].astype(jnp.float32),
+                       [(0, cls_pad - ncls)], constant_values=1.0),
+        "bh": jnp.pad(hd["b"].astype(jnp.float32),
+                      [(0, cls_pad - ncls)]),
+    }
+
+
+def vit_forward_int8_latency_logits(qparams: Params, images: jax.Array,
+                                    cfg: vit_mod.ViTConfig,
+                                    interpret: bool = False) -> jax.Array:
+    """ONE-kernel int8 ViT forward: embed/layers/head all run int8 GEMMs
+    with in-kernel row quantization inside a single pallas_call
+    (ops/vit_stack.vit_full_int8_pallas).  Inference-only.  ``qparams``
+    may be the quantize_vit_fast tree or the
+    :func:`prep_full_int8_latency` fold."""
+    from ..ops.common import SUBLANE_BF16, round_up
+    from ..ops.vit_stack import vit_full_int8_pallas
+    dt = jnp.bfloat16
+    n = cfg.seq_len
+    npre = cfg.num_prefix_tokens
+    n_pad = round_up(n, SUBLANE_BF16)
+    prep = qparams if "posb" in qparams else prep_full_int8_latency(
+        qparams, cfg)
+    p = vit_mod.patchify(images.astype(dt), cfg.patch_size)
+    pp = jnp.pad(p, [(0, 0), (npre, n_pad - n), (0, 0)])
+    act = "quick_gelu" if cfg.hidden_act == "quick_gelu" else "gelu_tanh"
+    out = vit_full_int8_pallas(
+        pp, prep["wpq"], prep["wps"], prep["posb"], prep["blocks"],
+        prep["lfs"], prep["lfb"], prep["whq"], prep["whs"], prep["bh"],
+        cfg.num_heads, eps=cfg.ln_eps, act=act, n_tokens=n, npre=npre,
+        interpret=interpret)
+    cls_pad = prep["whq"].shape[-1]
+    return out.reshape(images.shape[0],
+                       npre * cls_pad)[:, :cfg.num_classes]
+
+
 # ---------------------------------------------------------------------------
 # CLIP vision tower int8 (round 3): the blocks are plain ViT blocks, so
 # the fast-int8 machinery applies directly; ln_pre stays f32 VPU work and

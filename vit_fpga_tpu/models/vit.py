@@ -677,6 +677,99 @@ def forward_latency(params: Params, images: jax.Array,
                 + params["head"]["bias"])
 
 
+def full_latency_supported(cfg: ViTConfig, batch: int) -> bool:
+    """Gate for :func:`forward_latency_logits` (one-kernel ViT)."""
+    from ..ops.common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
+    from ..ops.vit_stack import stack_full_plan
+    if cfg.num_prefix_tokens != 1 or cfg.num_classes < 1:
+        return False
+    if cfg.hidden_act not in ("gelu", "gelu_tanh", "quick_gelu"):
+        return False
+    itemsize = 2 if cfg.dtype == "bfloat16" else 4
+    sub = SUBLANE_BF16 if itemsize == 2 else SUBLANE_F32
+    n_pad = round_up(cfg.seq_len, sub)
+    kv_pad = round_up(cfg.seq_len, LANE)
+    p3 = cfg.patch_size * cfg.patch_size * 3
+    cls_pad = round_up(cfg.num_classes, LANE)
+    return stack_full_plan(cfg.num_heads, cfg.hidden_dim, cfg.mlp_dim,
+                           n_pad, kv_pad, batch, p3, cls_pad,
+                           itemsize) >= 2
+
+
+def prep_full_latency(params: Params, cfg: ViTConfig) -> Params:
+    """One-time parameter fold for :func:`forward_latency_logits`: the
+    posb table (bias/CLS/pos — ops/patch_embed.py), compute-dtype casts,
+    and the 128-padded head.  Call OUTSIDE the per-request jit so none
+    of this runs on the latency path."""
+    from ..ops.common import LANE, round_up
+    dt = cfg.compute_dtype
+    n, d = cfg.seq_len, cfg.hidden_dim
+    npre = cfg.num_prefix_tokens
+    sub = _stack_sublane(dt)
+    n_pad = round_up(n, sub)
+    pos = params["pos_embed"][0].astype(jnp.float32)
+    bias = params["patch_embed"]["bias"].astype(jnp.float32)
+    pre = params["cls_token"][0].astype(jnp.float32)
+    posb = jnp.concatenate([
+        pre + pos[:npre],
+        pos[npre:] + bias,
+        jnp.zeros((n_pad - n, d), jnp.float32),
+    ], axis=0)
+    ncls = cfg.num_classes
+    cls_pad = round_up(ncls, LANE)
+    return {
+        "wp": params["patch_embed"]["kernel"].astype(dt),
+        "posb": posb,
+        "blocks": params["blocks"],
+        "lfs": params["ln_f_scale"],
+        "lfb": params["ln_f_bias"],
+        "wh": jnp.pad(params["head"]["kernel"].astype(dt),
+                      [(0, 0), (0, cls_pad - ncls)]),
+        "bh": jnp.pad(params["head"]["bias"].astype(jnp.float32),
+                      [(0, cls_pad - ncls)]),
+    }
+
+
+def _stack_sublane(dt) -> int:
+    from ..ops.common import SUBLANE_BF16, SUBLANE_F32
+    return SUBLANE_BF16 if dt == jnp.bfloat16 else SUBLANE_F32
+
+
+def forward_latency_logits(params: Params, images: jax.Array,
+                           cfg: ViTConfig,
+                           interpret: bool = False) -> jax.Array:
+    """ONE-kernel ViT forward for latency serving: patch-embed GEMM +
+    every layer + final LN + classifier head inside a single pallas_call
+    (ops/vit_stack.vit_full_pallas) — the BASELINE north star's "raw
+    image tensor goes in and class logits come out in one XLA program",
+    taken literally.  Inference-only; gate with
+    :func:`full_latency_supported`.  ``params`` may be either the plain
+    param tree or the :func:`prep_full_latency` fold (pass the fold to
+    keep the posb/head prep off the per-request path)."""
+    from ..ops.common import round_up
+    from ..ops.vit_stack import vit_full_pallas
+    with _precision_ctx(cfg):
+        dt = cfg.compute_dtype
+        n = cfg.seq_len
+        npre = cfg.num_prefix_tokens
+        n_pad = round_up(n, _stack_sublane(dt))
+        prep = params if "posb" in params else prep_full_latency(
+            params, cfg)
+        p = patchify(images.astype(dt), cfg.patch_size)
+        pp = jnp.pad(p, [(0, 0), (npre, n_pad - n), (0, 0)])
+        act = cfg.hidden_act
+        if act == "gelu":
+            act = "gelu_tanh"   # see _hidden_act
+        out = vit_full_pallas(
+            pp, prep["wp"], prep["posb"], prep["blocks"], prep["lfs"],
+            prep["lfb"], prep["wh"], prep["bh"], cfg.num_heads,
+            eps=cfg.ln_eps, act=act, n_tokens=n, npre=npre,
+            interpret=interpret)
+        cls_pad = prep["wh"].shape[-1]
+        return out.reshape(images.shape[0],
+                           npre * cls_pad)[:, :cfg.num_classes]
+
+
 def jit_forward(cfg: ViTConfig, raw: bool = False):
     """Compile-once entry; cfg is baked in as static."""
     fn = forward_raw if raw else forward

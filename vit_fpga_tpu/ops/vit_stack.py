@@ -31,19 +31,14 @@ _NEG_INF = -1e30
 _EXP_LO, _EXP_HI = -70.0, 80.0   # max-free softmax window (attn_block.py)
 
 
-def _stack_kernel(x_ref, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
-                  w2, b2, o_ref, tok, qkv_s, sc, ao, *, eps: float,
-                  scale: float, n_valid: int, n_pad: int, kv_pad: int,
-                  n_heads: int, dh: int, batch: int, depth: int,
-                  act: str, n_sc: int):
-    i = pl.program_id(0)
+def _layer_math(x, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
+                w2, b2, qkv_s, sc, ao, *, eps: float, scale: float,
+                n_valid: int, n_pad: int, kv_pad: int, n_heads: int,
+                dh: int, batch: int, act: str, n_sc: int):
+    """One bf16/f32 transformer layer on (batch*n_pad, D) rows; weight
+    args are the per-layer refs (block shape (1, ...)).  Shared by the
+    layers-only and the full (embed+head) single-launch kernels."""
     d = n_heads * dh
-
-    @pl.when(i == 0)
-    def _():
-        tok[:] = x_ref[:].reshape(batch * n_pad, d)
-
-    x = tok[:]
 
     # ---- attention half ----
     xf = x.astype(jnp.float32)
@@ -115,7 +110,26 @@ def _stack_kernel(x_ref, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
         raise ValueError(act)
     h = h.astype(x.dtype)
     y2 = jnp.dot(h, w2[0], preferred_element_type=jnp.float32) + b2[0]
-    out = xa + y2.astype(x.dtype)
+    return xa + y2.astype(x.dtype)
+
+
+def _stack_kernel(x_ref, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
+                  w2, b2, o_ref, tok, qkv_s, sc, ao, *, eps: float,
+                  scale: float, n_valid: int, n_pad: int, kv_pad: int,
+                  n_heads: int, dh: int, batch: int, depth: int,
+                  act: str, n_sc: int):
+    i = pl.program_id(0)
+    d = n_heads * dh
+
+    @pl.when(i == 0)
+    def _():
+        tok[:] = x_ref[:].reshape(batch * n_pad, d)
+
+    out = _layer_math(tok[:], l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b,
+                      w1, b1, w2, b2, qkv_s, sc, ao, eps=eps, scale=scale,
+                      n_valid=n_valid, n_pad=n_pad, kv_pad=kv_pad,
+                      n_heads=n_heads, dh=dh, batch=batch, act=act,
+                      n_sc=n_sc)
     tok[:] = out
 
     @pl.when(i == depth - 1)
@@ -230,21 +244,15 @@ def vit_layers_pallas(x, blocks, num_heads: int, eps: float = 1e-6,
 # weights halve the stream the kernel is waiting on.
 # ---------------------------------------------------------------------------
 
-def _stack_int8_kernel(x_ref, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
-                       l2s, l2b, w1, s1, b1, w2, s2, b2, o_ref, tok,
-                       qkv_s, sc, ao, *, eps: float, scale: float,
-                       n_valid: int, n_pad: int, kv_pad: int,
-                       n_heads: int, dh: int, batch: int, depth: int,
-                       act: str):
+def _layer_math_int8(x, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
+                     l2s, l2b, w1, s1, b1, w2, s2, b2, qkv_s, sc, ao, *,
+                     eps: float, scale: float, n_valid: int, n_pad: int,
+                     kv_pad: int, n_heads: int, dh: int, batch: int,
+                     act: str):
+    """One int8-weight transformer layer on (batch*n_pad, D) rows (int8
+    GEMMs with in-kernel row quantization, bf16 scores/PV)."""
     from .quant_block import _row_quant
-    i = pl.program_id(0)
     d = n_heads * dh
-
-    @pl.when(i == 0)
-    def _():
-        tok[:] = x_ref[:].reshape(batch * n_pad, d)
-
-    x = tok[:]
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.maximum(
@@ -315,7 +323,27 @@ def _stack_int8_kernel(x_ref, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
     acc2 = jax.lax.dot_general(gq, w2[0], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
     y2 = acc2.astype(jnp.float32) * (sg * s2[0]) + b2[0]
-    out = xa + y2.astype(x.dtype)
+    return xa + y2.astype(x.dtype)
+
+
+def _stack_int8_kernel(x_ref, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
+                       l2s, l2b, w1, s1, b1, w2, s2, b2, o_ref, tok,
+                       qkv_s, sc, ao, *, eps: float, scale: float,
+                       n_valid: int, n_pad: int, kv_pad: int,
+                       n_heads: int, dh: int, batch: int, depth: int,
+                       act: str):
+    i = pl.program_id(0)
+    d = n_heads * dh
+
+    @pl.when(i == 0)
+    def _():
+        tok[:] = x_ref[:].reshape(batch * n_pad, d)
+
+    out = _layer_math_int8(tok[:], l1s, l1b, wqkv, sqkv, bqkv, wo, so,
+                           bo, l2s, l2b, w1, s1, b1, w2, s2, b2, qkv_s,
+                           sc, ao, eps=eps, scale=scale, n_valid=n_valid,
+                           n_pad=n_pad, kv_pad=kv_pad, n_heads=n_heads,
+                           dh=dh, batch=batch, act=act)
     tok[:] = out
 
     @pl.when(i == depth - 1)
@@ -391,3 +419,282 @@ def vit_layers_int8_pallas(x, qblocks, num_heads: int, eps: float = 1e-6,
       qblocks["w1_q"], vec(qblocks["w1_s"]), vec(qblocks["b1"]),
       qblocks["w2_q"], vec(qblocks["w2_s"]), vec(qblocks["b2"]))
     return out[:, :n, :]
+
+
+# ---------------------------------------------------------------------------
+# Full-model single-launch kernels (round 3): patch-embed GEMM + every
+# transformer layer + final-LN + classifier head in ONE pallas_call.
+# The BASELINE north star asks for "a raw image tensor goes in and class
+# logits come out in one XLA program"; at batch 1 this also deletes the
+# separate embed and head kernel launches (~28 us of the 195 us int8
+# p50 — experiments/perf_int8_lat_ablate.py).  The embed inputs (padded
+# patch matrix, folded posb table — see ops/patch_embed.py) and the head
+# weights ride constant-index BlockSpecs, so they are fetched once; the
+# layer weights keep the per-layer revolving-buffer stream.
+# ---------------------------------------------------------------------------
+
+
+def _stack_full_kernel(pp_ref, wp, posb, l1s, l1b, wqkv, bqkv, wo, bo,
+                       l2s, l2b, w1, b1, w2, b2, lfs, lfb, wh, bh,
+                       o_ref, tok, qkv_s, sc, ao, *, eps: float,
+                       scale: float, n_valid: int, n_pad: int,
+                       kv_pad: int, n_heads: int, dh: int, batch: int,
+                       depth: int, act: str, n_sc: int, npre: int):
+    i = pl.program_id(0)
+    d = n_heads * dh
+
+    @pl.when(i == 0)
+    def _():
+        for b in range(batch):
+            acc = jnp.dot(pp_ref[b], wp[:],
+                          preferred_element_type=jnp.float32)
+            tok[b * n_pad:(b + 1) * n_pad] = (acc + posb[:]).astype(
+                tok.dtype)
+
+    out = _layer_math(tok[:], l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b,
+                      w1, b1, w2, b2, qkv_s, sc, ao, eps=eps, scale=scale,
+                      n_valid=n_valid, n_pad=n_pad, kv_pad=kv_pad,
+                      n_heads=n_heads, dh=dh, batch=batch, act=act,
+                      n_sc=n_sc)
+    tok[:] = out
+
+    @pl.when(i == depth - 1)
+    def _():
+        for b in range(batch):
+            row = out[b * n_pad:b * n_pad + npre].astype(jnp.float32)
+            mu = jnp.mean(row, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(row * row, axis=-1, keepdims=True) - mu * mu,
+                0.0)
+            xn = (row - mu) * jax.lax.rsqrt(var + eps) * lfs[:] + lfb[:]
+            logits = jnp.dot(xn.astype(wh.dtype), wh[:],
+                             preferred_element_type=jnp.float32) + bh[:]
+            o_ref[b * npre:(b + 1) * npre] = logits
+
+
+def _stack_full_int8_kernel(pp_ref, wpq, wps, posb, l1s, l1b, wqkv, sqkv,
+                            bqkv, wo, so, bo, l2s, l2b, w1, s1, b1, w2,
+                            s2, b2, lfs, lfb, whq, whs, bh, o_ref, tok,
+                            qkv_s, sc, ao, *, eps: float, scale: float,
+                            n_valid: int, n_pad: int, kv_pad: int,
+                            n_heads: int, dh: int, batch: int,
+                            depth: int, act: str, npre: int):
+    from .quant_block import _row_quant
+    i = pl.program_id(0)
+    d = n_heads * dh
+
+    @pl.when(i == 0)
+    def _():
+        for b in range(batch):
+            xq, sx = _row_quant(pp_ref[b].astype(jnp.float32))
+            acc = jax.lax.dot_general(
+                xq, wpq[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            tok[b * n_pad:(b + 1) * n_pad] = (
+                acc.astype(jnp.float32) * (sx * wps[:]) + posb[:]
+            ).astype(tok.dtype)
+
+    out = _layer_math_int8(tok[:], l1s, l1b, wqkv, sqkv, bqkv, wo, so,
+                           bo, l2s, l2b, w1, s1, b1, w2, s2, b2, qkv_s,
+                           sc, ao, eps=eps, scale=scale, n_valid=n_valid,
+                           n_pad=n_pad, kv_pad=kv_pad, n_heads=n_heads,
+                           dh=dh, batch=batch, act=act)
+    tok[:] = out
+
+    @pl.when(i == depth - 1)
+    def _():
+        for b in range(batch):
+            row = out[b * n_pad:b * n_pad + npre].astype(jnp.float32)
+            mu = jnp.mean(row, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(row * row, axis=-1, keepdims=True) - mu * mu,
+                0.0)
+            xn = (row - mu) * jax.lax.rsqrt(var + eps) * lfs[:] + lfb[:]
+            rq, rs = _row_quant(xn)
+            acc = jax.lax.dot_general(
+                rq, whq[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[b * npre:(b + 1) * npre] = (
+                acc.astype(jnp.float32) * (rs * whs[:]) + bh[:])
+
+
+def stack_full_plan(n_heads: int, d: int, mlp_dim: int, n_pad: int,
+                    kv_pad: int, batch: int, p3: int, cls_pad: int,
+                    itemsize: int = 2) -> int:
+    """Score-slot count for the full-model kernel (stack_plan + the
+    once-fetched embed/head blocks), or 0 if it can't fit."""
+    weights = (4 * d * d + 2 * d * mlp_dim) * itemsize * 2
+    tokens = 2 * batch * n_pad * d * itemsize
+    panel = batch * kv_pad * 3 * d * itemsize
+    hidden = batch * n_pad * mlp_dim * 4
+    embed = (batch * n_pad * p3 * itemsize   # pp (fetched once)
+             + p3 * d * itemsize             # wp
+             + n_pad * d * 4)                # posb f32
+    head = d * cls_pad * itemsize + cls_pad * 4
+    fixed = weights + tokens + panel + hidden + embed + head
+    slot = n_pad * kv_pad * 4
+    budget = int(100 * 1024 * 1024 * 0.8)
+    if fixed + 2 * slot > budget:
+        return 0
+    return min(n_heads, (budget - fixed) // slot)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_heads", "eps", "act", "n_tokens", "npre", "interpret"))
+def vit_full_pallas(patches_padded, wp, posb, blocks, lf_scale, lf_bias,
+                    wh, bh, num_heads: int, eps: float = 1e-6,
+                    act: str = "gelu_tanh", n_tokens: int = 197,
+                    npre: int = 1, interpret: bool = False):
+    """(B, n_pad, P*P*3) zero-prefix-row patches -> (B*npre, cls_pad)
+    f32 logits, one kernel launch.  ``posb`` is the (n_pad, D) f32 fold
+    of embed bias / CLS / pos (ops/patch_embed.py); ``wh``/``bh`` are
+    the head weights padded to a 128-multiple class count."""
+    b, n_pad, p3 = patches_padded.shape
+    d = wp.shape[-1]
+    depth = blocks["wqkv"].shape[0]
+    m = blocks["w1"].shape[2]
+    dh = d // num_heads
+    kv_pad = round_up(n_tokens, LANE)
+    cls_pad = wh.shape[-1]
+    dt = wp.dtype
+    f32 = jnp.float32
+
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    def per_layer(*tr):
+        return pl.BlockSpec((1,) + tr,
+                            lambda i: (i,) + tuple(0 for _ in tr),
+                            memory_space=pltpu.VMEM)
+
+    def vec(a):
+        return a.reshape(a.shape[0], 1, a.shape[1])
+
+    n_sc = stack_full_plan(num_heads, d, m, n_pad, kv_pad, b, p3,
+                           cls_pad, dt.itemsize)
+    if n_sc < 2:
+        raise ValueError(
+            f"vit_full does not fit VMEM at d={d}, n_pad={n_pad}")
+    out = pl.pallas_call(
+        functools.partial(_stack_full_kernel, eps=eps,
+                          scale=1.0 / (dh ** 0.5),
+                          n_valid=min(n_tokens, kv_pad), n_pad=n_pad,
+                          kv_pad=kv_pad, n_heads=num_heads, dh=dh,
+                          batch=b, depth=depth, act=act, n_sc=n_sc,
+                          npre=npre),
+        grid=(depth,),
+        in_specs=[const((b, n_pad, p3)), const((p3, d)),
+                  const((n_pad, d)),
+                  per_layer(1, d), per_layer(1, d),
+                  per_layer(d, 3 * d), per_layer(1, 3 * d),
+                  per_layer(d, d), per_layer(1, d),
+                  per_layer(1, d), per_layer(1, d),
+                  per_layer(d, m), per_layer(1, m),
+                  per_layer(m, d), per_layer(1, d),
+                  const((1, d)), const((1, d)),
+                  const((d, cls_pad)), const((1, cls_pad))],
+        out_specs=const((b * npre, cls_pad)),
+        out_shape=jax.ShapeDtypeStruct((b * npre, cls_pad), f32),
+        scratch_shapes=[
+            pltpu.VMEM((b * n_pad, d), dt),
+            pltpu.VMEM((b, kv_pad, 3 * d), dt),
+            pltpu.VMEM((n_sc, n_pad, kv_pad), f32),
+            pltpu.VMEM((b * n_pad, d), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(patches_padded.astype(dt), wp, posb.astype(f32),
+      vec(blocks["ln1_scale"].astype(f32)),
+      vec(blocks["ln1_bias"].astype(f32)),
+      blocks["wqkv"].astype(dt), vec(blocks["bqkv"].astype(f32)),
+      blocks["wo"].astype(dt), vec(blocks["bo"].astype(f32)),
+      vec(blocks["ln2_scale"].astype(f32)),
+      vec(blocks["ln2_bias"].astype(f32)),
+      blocks["w1"].astype(dt), vec(blocks["b1"].astype(f32)),
+      blocks["w2"].astype(dt), vec(blocks["b2"].astype(f32)),
+      lf_scale.reshape(1, d).astype(f32), lf_bias.reshape(1, d).astype(f32),
+      wh.astype(dt), bh.reshape(1, cls_pad).astype(f32))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_heads", "eps", "act", "n_tokens", "npre", "interpret"))
+def vit_full_int8_pallas(patches_padded, wpq, wps, posb, qblocks,
+                         lf_scale, lf_bias, whq, whs, bh,
+                         num_heads: int, eps: float = 1e-6,
+                         act: str = "gelu_tanh", n_tokens: int = 197,
+                         npre: int = 1, interpret: bool = False):
+    """Int8 full-model single launch: embed/layers/head all run int8
+    GEMMs with in-kernel row quantization (bf16 scores/PV)."""
+    b, n_pad, p3 = patches_padded.shape
+    d = wpq.shape[-1]
+    depth = qblocks["wqkv_q"].shape[0]
+    m = qblocks["w1_q"].shape[2]
+    dh = d // num_heads
+    kv_pad = round_up(n_tokens, LANE)
+    cls_pad = whq.shape[-1]
+    dt = jnp.bfloat16
+    f32 = jnp.float32
+
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    def per_layer(*tr):
+        return pl.BlockSpec((1,) + tr,
+                            lambda i: (i,) + tuple(0 for _ in tr),
+                            memory_space=pltpu.VMEM)
+
+    def vec(a):
+        return a.reshape(a.shape[0], 1, a.shape[1]).astype(f32)
+
+    n_sc = stack_full_plan(num_heads, d, m, n_pad, kv_pad, b, p3,
+                           cls_pad, 1)
+    if n_sc < 2:
+        raise ValueError(
+            f"vit_full_int8 does not fit VMEM at d={d}, n_pad={n_pad}")
+    out = pl.pallas_call(
+        functools.partial(_stack_full_int8_kernel, eps=eps,
+                          scale=1.0 / (dh ** 0.5),
+                          n_valid=min(n_tokens, kv_pad), n_pad=n_pad,
+                          kv_pad=kv_pad, n_heads=num_heads, dh=dh,
+                          batch=b, depth=depth, act=act, npre=npre),
+        grid=(depth,),
+        in_specs=[const((b, n_pad, p3)), const((p3, d)),
+                  const((1, d)), const((n_pad, d)),
+                  per_layer(1, d), per_layer(1, d),
+                  per_layer(d, 3 * d), per_layer(1, 3 * d),
+                  per_layer(1, 3 * d),
+                  per_layer(d, d), per_layer(1, d), per_layer(1, d),
+                  per_layer(1, d), per_layer(1, d),
+                  per_layer(d, m), per_layer(1, m), per_layer(1, m),
+                  per_layer(m, d), per_layer(1, d), per_layer(1, d),
+                  const((1, d)), const((1, d)),
+                  const((d, cls_pad)), const((1, cls_pad)),
+                  const((1, cls_pad))],
+        out_specs=const((b * npre, cls_pad)),
+        out_shape=jax.ShapeDtypeStruct((b * npre, cls_pad), f32),
+        scratch_shapes=[
+            pltpu.VMEM((b * n_pad, d), dt),
+            pltpu.VMEM((b, kv_pad, 3 * d), dt),
+            pltpu.VMEM((num_heads, n_pad, kv_pad), f32),
+            pltpu.VMEM((b * n_pad, d), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(patches_padded.astype(dt), wpq,
+      wps.reshape(1, d).astype(f32), posb.astype(f32),
+      vec(qblocks["ln1_scale"]), vec(qblocks["ln1_bias"]),
+      qblocks["wqkv_q"], vec(qblocks["wqkv_s"]), vec(qblocks["bqkv"]),
+      qblocks["wo_q"], vec(qblocks["wo_s"]), vec(qblocks["bo"]),
+      vec(qblocks["ln2_scale"]), vec(qblocks["ln2_bias"]),
+      qblocks["w1_q"], vec(qblocks["w1_s"]), vec(qblocks["b1"]),
+      qblocks["w2_q"], vec(qblocks["w2_s"]), vec(qblocks["b2"]),
+      lf_scale.reshape(1, d).astype(f32),
+      lf_bias.reshape(1, d).astype(f32),
+      whq, whs.reshape(1, cls_pad).astype(f32),
+      bh.reshape(1, cls_pad).astype(f32))
+    return out
