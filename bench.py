@@ -120,6 +120,10 @@ def main(argv):
     if mode == "latency" and dtype == "int8" and not is_clip:
         from vit_fpga_tpu.models import quantized as _q
         if _q.int8_latency_supported(cfg, batch):
+            # prep-once cls-last fold: posb/cast work stays off the
+            # per-request path (models/quantized.prep_int8_latency)
+            run_params = jax.device_put(_q.prep_int8_latency(qparams, cfg))
+
             def fwd(p, x):  # noqa: F811
                 return _q.vit_forward_int8_latency(p, x, cfg)
 
@@ -137,8 +141,11 @@ def main(argv):
             # (experiments/perf_full_stack.py) — the separate launches
             # overlap, the fused stages serialize into the grid.
             from vit_fpga_tpu.models.vit import (forward_latency,
-                                                 latency_forward_supported)
+                                                 latency_forward_supported,
+                                                 prep_latency)
             if latency_forward_supported(cfg, batch):
+                run_params = jax.device_put(prep_latency(params, cfg))
+
                 def fwd(p, x):  # noqa: F811
                     return forward_latency(p, x, cfg)
 

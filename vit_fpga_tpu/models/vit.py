@@ -648,33 +648,93 @@ def latency_forward_supported(cfg: ViTConfig, batch: int) -> bool:
                            round_up(cfg.seq_len, LANE), batch))
 
 
+def prep_latency(params: Params, cfg: ViTConfig) -> Params:
+    """One-time fold for :func:`forward_latency`'s CLS-LAST embed: the
+    compute-dtype kernel cast and the posb table with patch rows FIRST
+    and the prefix rows after them (attention is permutation-equivariant,
+    so token order is a free choice — ops/patch_embed.py cls-last).
+    Call OUTSIDE the per-request jit so none of this runs per call."""
+    dt = cfg.compute_dtype
+    n, d = cfg.seq_len, cfg.hidden_dim
+    npre = cfg.num_prefix_tokens
+    n_pad = _round_up_sub(n, dt)
+    pos = params["pos_embed"][0].astype(jnp.float32)
+    bias = params["patch_embed"]["bias"].astype(jnp.float32)
+    pre = params["cls_token"][0].astype(jnp.float32)
+    posb = jnp.concatenate([
+        pos[npre:] + bias,                     # patch rows 0..npch-1
+        pre + pos[:npre],                      # prefix rows (cls first)
+        jnp.zeros((n_pad - n, d), jnp.float32),
+    ], axis=0)
+    return {
+        "wp_cl": params["patch_embed"]["kernel"].astype(dt),
+        "posb_cl": posb,
+        "blocks": params["blocks"],
+        "lfs": params["ln_f_scale"],
+        "lfb": params["ln_f_bias"],
+        "wh": params["head"]["kernel"],
+        "bh": params["head"]["bias"],
+    }
+
+
+def _round_up_sub(n: int, dt) -> int:
+    from ..ops.common import round_up
+    return round_up(n, _stack_sublane(dt))
+
+
 def forward_latency(params: Params, images: jax.Array,
                     cfg: ViTConfig) -> jax.Array:
     """Small-batch single-launch forward for LATENCY serving: the whole
     encoder runs as ONE pallas_call with the layer index on the grid, so
     layer i+1's weights stream from HBM while layer i computes
-    (ops/vit_stack.py).  Inference-only (no VJP); use :func:`forward`
-    for training/throughput."""
+    (ops/vit_stack.py).  When the cls-last embed fits VMEM, the XLA
+    embed chain (GEMM -> concat(cls) -> +pos -> pad: each a fresh copy
+    of the token tensor, ~15-20 µs at batch 1) collapses into ONE
+    kernel consuming the unpadded patch matrix, with the prefix rows
+    placed AFTER the patches so the GEMM output stays at row offset 0
+    (ops/patch_embed.py).  ``params`` may be the plain tree or the
+    :func:`prep_latency` fold.  Inference-only (no VJP); use
+    :func:`forward` for training/throughput."""
+    from ..ops.patch_embed import (embed_cls_last_fits,
+                                   embed_tokens_cls_last)
     from ..ops.vit_stack import vit_layers_pallas
     with _precision_ctx(cfg):
         dt = cfg.compute_dtype
-        x = patchify(images.astype(dt), cfg.patch_size)
-        x = x @ params["patch_embed"]["kernel"].astype(dt)
-        x = x + params["patch_embed"]["bias"].astype(dt)
-        b = x.shape[0]
-        cls = jnp.broadcast_to(params["cls_token"].astype(dt),
-                               (b, cfg.num_prefix_tokens, cfg.hidden_dim))
-        x = jnp.concatenate([cls, x], axis=1)
-        x = x + params["pos_embed"].astype(dt)
+        n, npre = cfg.seq_len, cfg.num_prefix_tokens
+        npch = n - npre
+        p3 = cfg.patch_size * cfg.patch_size * 3
+        n_pad = _round_up_sub(n, dt)
         act = cfg.hidden_act
         if act == "gelu":
             act = "gelu_tanh"   # bf16 compute; see _hidden_act
-        toks = vit_layers_pallas(x, params["blocks"], cfg.num_heads,
-                                 eps=cfg.ln_eps, act=act)
-        pooled = _layernorm(toks[:, :1], params["ln_f_scale"],
-                            params["ln_f_bias"], cfg.ln_eps)[:, 0]
-        return (pooled.astype(jnp.float32) @ params["head"]["kernel"]
-                + params["head"]["bias"])
+        is_fold = "posb_cl" in params
+        if is_fold or embed_cls_last_fits(npch, n_pad, p3, cfg.hidden_dim,
+                                          jnp.dtype(dt).itemsize):
+            prep = params if is_fold else prep_latency(params, cfg)
+            pch = patchify(images.astype(dt), cfg.patch_size)
+            x = embed_tokens_cls_last(pch, prep["wp_cl"], prep["posb_cl"])
+            toks = vit_layers_pallas(x, prep["blocks"], cfg.num_heads,
+                                     eps=cfg.ln_eps, act=act, n_valid=n)
+            pooled_rows = toks[:, npch:npch + 1]   # CLS moved to the end
+            lfs, lfb = prep["lfs"], prep["lfb"]
+            wh, bh = prep["wh"], prep["bh"]
+        else:
+            x = patchify(images.astype(dt), cfg.patch_size)
+            x = x @ params["patch_embed"]["kernel"].astype(dt)
+            x = x + params["patch_embed"]["bias"].astype(dt)
+            b = x.shape[0]
+            cls = jnp.broadcast_to(
+                params["cls_token"].astype(dt),
+                (b, cfg.num_prefix_tokens, cfg.hidden_dim))
+            x = jnp.concatenate([cls, x], axis=1)
+            x = x + params["pos_embed"].astype(dt)
+            toks = vit_layers_pallas(x, params["blocks"], cfg.num_heads,
+                                     eps=cfg.ln_eps, act=act)
+            pooled_rows = toks[:, :1]
+            lfs, lfb = params["ln_f_scale"], params["ln_f_bias"]
+            wh, bh = params["head"]["kernel"], params["head"]["bias"]
+        pooled = _layernorm(pooled_rows, lfs, lfb, cfg.ln_eps)[:, 0]
+        return pooled.astype(jnp.float32) @ wh + bh
 
 
 def full_latency_supported(cfg: ViTConfig, batch: int) -> bool:

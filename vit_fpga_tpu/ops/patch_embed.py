@@ -214,3 +214,110 @@ def patch_embed_pallas(images_u8: jax.Array, kernel_f: jax.Array,
         interpret=interpret,
     )(images_u8, k3, bias_f.reshape(1, -1))
     return out
+
+
+# ---------------------------------------------------------------------------
+# CLS-LAST fused embed (round 3): consumes the raw patchify output with
+# NO padding pass.  XLA's pad of the (196, P²3) patch matrix costs
+# ~15-20 µs at batch 1 (experiments/perf_lat_split.py — the pad
+# materializes a fresh padded tensor whether or not the prefix shift is
+# present, while patchify itself is ~3 µs).  Attention is permutation-
+# equivariant, so token ORDER is a free choice: putting the CLS/prefix
+# rows AFTER the patches ("cls-last") keeps the patch GEMM's output
+# rows at offset 0 (aligned), and the prefix + tail-zero rows come from
+# the posb table alone.  Valid tokens stay contiguous (0..n-1), so the
+# encoder's n_valid mask is unchanged; only the pooling row moves to
+# the end (models/vit.forward_latency).
+# ---------------------------------------------------------------------------
+
+
+def embed_cls_last_fits(n_patches: int, n_pad: int, p3: int, d: int,
+                        itemsize: int,
+                        budget: int = 13 * 1024 * 1024) -> bool:
+    """VMEM fit-gate for the cls-last embed (mirrors embed_tokens_fits;
+    the in block is the UNPADDED patch matrix)."""
+    need = (2 * n_patches * p3 * itemsize   # in, double-buffered
+            + 2 * n_pad * d * itemsize      # out, double-buffered
+            + p3 * d * itemsize             # kernel
+            + n_pad * d * 4)                # posb (f32)
+    return need <= budget
+
+
+def _embed_cls_last_kernel(p_ref, k_ref, pb_ref, o_ref, *,
+                           n_patches: int):
+    acc = jnp.dot(p_ref[0], k_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0, :n_patches] = (acc + pb_ref[:n_patches]).astype(o_ref.dtype)
+    o_ref[0, n_patches:] = pb_ref[n_patches:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def embed_tokens_cls_last(patches: jax.Array, kernel: jax.Array,
+                          posb: jax.Array, interpret: bool = False):
+    """(B, n_patches, P*P*3) UNPADDED patches -> (B, n_pad, D) tokens,
+    prefix rows at the END.  ``posb`` is (n_pad, D) f32:
+    rows [0, n_patches) = pos+bias for the patch rows, rows
+    [n_patches, n) = cls+pos for the prefix rows, tail rows zero."""
+    b, npch, p3 = patches.shape
+    n_pad, d = posb.shape
+    out = pl.pallas_call(
+        functools.partial(_embed_cls_last_kernel, n_patches=npch),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, npch, p3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p3, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), kernel.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(patches, kernel, posb.astype(jnp.float32))
+    return out
+
+
+def _embed_int8_cls_last_kernel(p_ref, k_ref, s_ref, pb_ref, o_ref, *,
+                                n_patches: int):
+    from .quant_block import _row_quant
+    xq, sx = _row_quant(p_ref[0].astype(jnp.float32))
+    acc = jax.lax.dot_general(xq, k_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    emb = acc.astype(jnp.float32) * (sx * s_ref[0])
+    o_ref[0, :n_patches] = (emb + pb_ref[:n_patches]).astype(o_ref.dtype)
+    o_ref[0, n_patches:] = pb_ref[n_patches:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def embed_tokens_int8_cls_last(patches: jax.Array, wq: jax.Array,
+                               ws: jax.Array, posb: jax.Array,
+                               interpret: bool = False):
+    """Int8 cls-last embed: in-kernel row quantization of the patch
+    rows, int8 GEMM, rank-1 dequant, posb add.  Output bf16."""
+    b, npch, p3 = patches.shape
+    n_pad, d = posb.shape
+    out = pl.pallas_call(
+        functools.partial(_embed_int8_cls_last_kernel, n_patches=npch),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, npch, p3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p3, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(patches, wq, ws.reshape(1, d).astype(jnp.float32),
+      posb.astype(jnp.float32))
+    return out
