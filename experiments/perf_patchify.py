@@ -33,8 +33,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, "/root/repo")
 from vit_fpga_tpu.models import vit
-from vit_fpga_tpu.ops.patch_embed import embed_tokens_cls_last
 from vit_fpga_tpu.utils.timing import time_device_loop_single
+
+# -- inlined copy of the superseded round-2 cls-last embed kernel (removed
+#    from ops/patch_embed.py after dotg won) so xla_t stays runnable -------
+def _cls_last_kernel(p_ref, k_ref, pb_ref, o_ref, *, n_patches: int):
+    acc = jnp.dot(p_ref[0], k_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0, :n_patches] = (acc + pb_ref[:n_patches]).astype(o_ref.dtype)
+    o_ref[0, n_patches:] = pb_ref[n_patches:].astype(o_ref.dtype)
+
+
+@jax.jit
+def embed_tokens_cls_last(patches, kernel, posb):
+    b, npch, p3 = patches.shape
+    n_pad, d = posb.shape
+    return pl.pallas_call(
+        functools.partial(_cls_last_kernel, n_patches=npch),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, npch, p3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p3, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), kernel.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(patches, kernel, posb.astype(jnp.float32))
+
 
 cfg = vit.config("vit_b16", image_size=224, dtype="bfloat16")
 P = cfg.patch_size
@@ -152,3 +182,50 @@ if __name__ == "__main__":
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/repo/.jax_cache")
     main()
+
+
+def main_b64():
+    """Throughput-path stage A/B: _fused_embed (patchify+pad+kernel,
+    cls-FIRST) vs transpose-free dotg + XLA assembly at batch 64."""
+    params = jax.device_put(vit.init_params(jax.random.key(0), cfg))
+    img = jax.device_put(jnp.asarray(
+        np.random.default_rng(0).normal(size=(64, 224, 224, 3)) * 0.5,
+        jnp.bfloat16))
+    wp = params["patch_embed"]["kernel"].astype(jnp.bfloat16)
+    k3 = wp.reshape(P, P3, D)
+    pos = params["pos_embed"][0].astype(jnp.float32)
+    bias = params["patch_embed"]["bias"].astype(jnp.float32)
+    pre = params["cls_token"][0].astype(jnp.float32)
+    posb_first = jnp.concatenate([
+        pre + pos[:1], pos[1:] + bias,
+        jnp.zeros((NPAD - N, D), jnp.float32)], axis=0)
+    posb_first = jax.device_put(posb_first)
+
+    @jax.jit
+    def cur(x):
+        return vit._fused_embed(params, x, cfg, NPAD)
+
+    @jax.jit
+    def dotg64(x):
+        b = x.shape[0]
+        x5 = x.reshape(b, GH, P, GW, P3)
+        y = jax.lax.dot_general(
+            x5, k3, (((2, 4), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32)
+        body = (y.reshape(b, NPCH, D)
+                + posb_first[None, 1:1 + NPCH]).astype(jnp.bfloat16)
+        head_ = jnp.broadcast_to(
+            posb_first[None, :1].astype(jnp.bfloat16), (b, 1, D))
+        tail = jnp.broadcast_to(
+            posb_first[None, 1 + NPCH:].astype(jnp.bfloat16),
+            (b, NPAD - 1 - NPCH, D))
+        return jnp.concatenate([head_, body, tail], axis=1)
+
+    a = np.asarray(jax.block_until_ready(cur(img)), np.float32)
+    bb = np.asarray(jax.block_until_ready(dotg64(img)), np.float32)
+    print("b64 parity max|d|=", np.max(np.abs(a - bb)), flush=True)
+    for rnd in range(4):
+        ta = time_device_loop_single(cur, (img,), n=128)
+        tb = time_device_loop_single(dotg64, (img,), n=128)
+        print(f"round {rnd}: fused_embed {ta*1e6:7.1f}  dotg {tb*1e6:7.1f}"
+              "  (us)", flush=True)

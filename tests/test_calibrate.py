@@ -128,14 +128,6 @@ def test_latency_path_gated_on_safe_softmax():
     assert not vit.latency_forward_supported(hot, 1)
 
 
-def test_embed_fit_gate():
-    """Oversize embed geometries (ViT-H/14@448: n_pad 1040) are gated to
-    the XLA chain instead of failing at compile time (ADVICE r2)."""
-    from vit_fpga_tpu.ops.common import SUBLANE_BF16, round_up
-    from vit_fpga_tpu.ops.patch_embed import embed_tokens_fits
-    b16 = vit.config("vit_b16")           # n_pad 208, fits
-    assert embed_tokens_fits(round_up(b16.seq_len, SUBLANE_BF16),
-                             b16.patch_size ** 2 * 3, b16.hidden_dim, 2)
-    h14 = vit.config("vit_h14", image_size=448)
-    assert not embed_tokens_fits(round_up(h14.seq_len, SUBLANE_BF16),
-                                 h14.patch_size ** 2 * 3, h14.hidden_dim, 2)
+# (the embed VMEM fit-gate test left with the round-2 embed kernel: the
+# transpose-free dotg embed is pure XLA and needs no gate — see
+# ops/patch_embed.embed_tokens_dotg and experiments/perf_patchify.py)

@@ -1,10 +1,14 @@
-"""CLS-LAST fused embed parity (ops/patch_embed.py round 3).
+"""Transpose-free dotg embed parity (ops/patch_embed.embed_tokens_dotg).
 
-Attention is permutation-equivariant, so token order is a free choice:
-placing the prefix rows AFTER the patches lets the embed kernel consume
-the UNPADDED patch matrix (no XLA pad copy) while keeping valid tokens
-contiguous.  These tests pin (a) the kernel math against a jnp replica
-and (b) the rewired latency forwards against the canonical forwards —
+The embed stage's cost was the patchify transpose, not the GEMM
+(experiments/perf_patchify.py): the dotg embed reshapes the raw image
+with contiguous splits only and contracts (P, P*3) against a 3-d view
+of the kernel — no transpose, no pad copy.  Token order stays a free
+choice (attention is permutation-equivariant): the throughput path
+keeps prefix-FIRST, the latency paths use prefix-LAST.  These tests
+pin (a) the dotg math against the naive patchify chain in both
+orderings, (b) its gradient (training uses it via vit._fused_embed),
+and (c) the rewired latency forwards against the canonical forwards —
 the permutation must be invisible in the logits.
 """
 
@@ -26,44 +30,69 @@ def _cfg(dtype):
                          hidden_act="gelu_tanh")
 
 
-def test_embed_cls_last_matches_ref():
+def _naive(images, kernel, posb, patch, npre, prefix_last):
+    x = vit.patchify(np.asarray(images, np.float32), patch)
+    acc = x @ np.asarray(kernel, np.float32)
+    pb = np.asarray(posb, np.float32)
+    b, npch = acc.shape[:2]
+    n_pad, d = pb.shape
+    if prefix_last:
+        parts = [acc + pb[None, :npch],
+                 np.broadcast_to(pb[None, npch:], (b, n_pad - npch, d))]
+    else:
+        parts = [np.broadcast_to(pb[None, :npre], (b, npre, d)),
+                 acc + pb[None, npre:npre + npch]]
+        if n_pad > npre + npch:
+            parts.append(np.broadcast_to(pb[None, npre + npch:],
+                                         (b, n_pad - npre - npch, d)))
+    return np.concatenate(parts, axis=1)
+
+
+def test_embed_dotg_matches_naive_both_orders():
     rng = np.random.default_rng(0)
-    b, npch, p3, n_pad, d = 2, 5, 24, 8, 32
-    patches = jnp.asarray(rng.normal(size=(b, npch, p3)), jnp.bfloat16)
-    kernel = jnp.asarray(rng.normal(size=(p3, d)) * 0.1, jnp.bfloat16)
-    posb = jnp.asarray(rng.normal(size=(n_pad, d)), jnp.float32)
-    got = np.asarray(pe.embed_tokens_cls_last(patches, kernel, posb,
-                                              interpret=True), np.float32)
-    acc = np.asarray(patches, np.float32) @ np.asarray(kernel, np.float32)
-    ref = np.concatenate([
-        acc + np.asarray(posb)[None, :npch],
-        np.broadcast_to(np.asarray(posb)[None, npch:],
-                        (b, n_pad - npch, d)),
-    ], axis=1).astype(jnp.bfloat16).astype(np.float32)
-    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    patch, gh = 4, 3
+    npch, p3, d, npre = gh * gh, patch * patch * 3, 32, 2
+    imgs = jnp.asarray(rng.normal(size=(2, gh * patch, gh * patch, 3)),
+                       jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(p3, d)) * 0.1, jnp.float32)
+    for n_pad in (npre + npch, 16):          # no tail / padded tail
+        posb = np.zeros((n_pad, d), np.float32)
+        posb[:npre + npch] = rng.normal(size=(npre + npch, d))
+        posb = jnp.asarray(posb)
+        for prefix_last in (False, True):
+            got = np.asarray(pe.embed_tokens_dotg(
+                imgs, kernel, posb, patch, npre,
+                prefix_last=prefix_last), np.float32)
+            ref = _naive(imgs, kernel, posb, patch, npre, prefix_last)
+            np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
-def test_embed_int8_cls_last_matches_ref():
-    from vit_fpga_tpu.ops.quant_fused import quantize_weight_colwise
+def test_embed_dotg_gradient_matches_naive():
+    """vit._fused_embed is differentiated in training; dotg's VJP must
+    match the patchify chain's."""
     rng = np.random.default_rng(1)
-    b, npch, p3, n_pad, d = 2, 5, 24, 8, 32
-    patches = jnp.asarray(rng.normal(size=(b, npch, p3)), jnp.bfloat16)
-    wq, ws = quantize_weight_colwise(
-        np.asarray(rng.normal(size=(p3, d)) * 0.1, np.float32))
-    posb = jnp.asarray(rng.normal(size=(n_pad, d)), jnp.float32)
-    got = np.asarray(pe.embed_tokens_int8_cls_last(
-        patches, jnp.asarray(wq), jnp.asarray(ws), posb,
-        interpret=True), np.float32)
-    pf = np.asarray(patches, np.float32)
-    sx = np.maximum(np.abs(pf).max(axis=-1, keepdims=True), 1e-12) / 127.0
-    xq = np.clip(np.rint(pf / sx), -127, 127)
-    emb = (xq @ wq.astype(np.float32)) * (sx * ws[None, None])
-    ref = np.concatenate([
-        emb + np.asarray(posb)[None, :npch],
-        np.broadcast_to(np.asarray(posb)[None, npch:],
-                        (b, n_pad - npch, d)),
-    ], axis=1).astype(jnp.bfloat16).astype(np.float32)
-    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    patch, gh, d, npre = 4, 2, 16, 1
+    p3 = patch * patch * 3
+    imgs = jnp.asarray(rng.normal(size=(1, gh * patch, gh * patch, 3)),
+                       jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(p3, d)) * 0.1, jnp.float32)
+    posb = jnp.asarray(rng.normal(size=(npre + gh * gh, d)), jnp.float32)
+
+    def f_dotg(img, k):
+        return jnp.sum(pe.embed_tokens_dotg(img, k, posb, patch, npre) ** 2)
+
+    def f_naive(img, k):
+        x = vit.patchify(img, patch)
+        acc = x @ k
+        body = acc + posb[None, npre:]
+        pre = jnp.broadcast_to(posb[None, :npre], (1, npre, d))
+        return jnp.sum(jnp.concatenate([pre, body], axis=1) ** 2)
+
+    g1 = jax.grad(f_dotg, argnums=(0, 1))(imgs, kernel)
+    g2 = jax.grad(f_naive, argnums=(0, 1))(imgs, kernel)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
 
 
 def _interp(monkeypatch, module, name):
@@ -73,9 +102,8 @@ def _interp(monkeypatch, module, name):
 
 
 def test_forward_latency_cls_last_matches_forward(monkeypatch):
-    """forward_latency (cls-last embed + stack kernel) == forward, both
-    through the plain tree and the prep_latency fold."""
-    _interp(monkeypatch, pe, "embed_tokens_cls_last")
+    """forward_latency (dotg cls-last embed + stack kernel) == forward,
+    both through the plain tree and the prep_latency fold."""
     _interp(monkeypatch, vs, "vit_layers_pallas")
     cfg = _cfg("bfloat16")
     params = vit.init_params(jax.random.key(0), cfg)
@@ -91,10 +119,10 @@ def test_forward_latency_cls_last_matches_forward(monkeypatch):
 
 
 def test_int8_latency_cls_last_matches_one_kernel(monkeypatch):
-    """vit_forward_int8_latency (cls-last) == the one-kernel int8 path
-    (identical row-quant math, different token order)."""
+    """vit_forward_int8_latency (dotg cls-last) == the one-kernel int8
+    path (same blocks; the embed differs only by the bf16-dequant embed
+    weight, well inside the int8 tolerance)."""
     from vit_fpga_tpu.ops import quant_fused as qf
-    _interp(monkeypatch, pe, "embed_tokens_int8_cls_last")
     _interp(monkeypatch, vs, "vit_layers_int8_pallas")
     _interp(monkeypatch, qf, "int8_linear_fused")
     cfg = _cfg("bfloat16")
@@ -107,16 +135,8 @@ def test_int8_latency_cls_last_matches_one_kernel(monkeypatch):
     got = np.asarray(quantized.vit_forward_int8_latency(qp, imgs, cfg),
                      np.float32)
     scale = np.abs(ref).max() + 1e-6
-    assert np.abs(got - ref).max() / scale < 0.05
+    assert np.abs(got - ref).max() / scale < 0.06
     fold = quantized.prep_int8_latency(qp, cfg)
     got_f = np.asarray(quantized.vit_forward_int8_latency(fold, imgs, cfg),
                        np.float32)
     np.testing.assert_allclose(got_f, got, rtol=1e-5, atol=1e-5)
-
-
-def test_embed_cls_last_fit_gate():
-    b16 = vit.config("vit_b16")
-    n_pad = 208
-    assert pe.embed_cls_last_fits(196, n_pad, 768, b16.hidden_dim, 2)
-    # ViT-H/14 @ 448px: 1024 patches x 588 -> blows the 13 MB budget
-    assert not pe.embed_cls_last_fits(1024, 1040, 588, 1280, 4)

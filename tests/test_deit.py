@@ -56,14 +56,7 @@ def test_deit_prefix_tokens_fused_embed_matches_xla():
     want = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
     want = jnp.pad(want, [(0, 0), (0, n_pad - cfg.seq_len), (0, 0)])
 
-    import functools
-    from vit_fpga_tpu.ops import patch_embed as pe
-    orig = pe.embed_tokens_pallas
-    pe.embed_tokens_pallas = functools.partial(orig, interpret=True)
-    try:
-        got = vit._fused_embed(params, imgs, cfg, n_pad)
-    finally:
-        pe.embed_tokens_pallas = orig
+    got = vit._fused_embed(params, imgs, cfg, n_pad)   # dotg: pure XLA
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 

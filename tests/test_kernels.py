@@ -221,13 +221,11 @@ def test_vit_stack_kernel_matches_forward():
                                rtol=3e-4, atol=3e-4)
 
 
-def test_embed_tokens_matches_ref_and_model_embed():
-    """Fused token-assembly embed == XLA embed chain (incl. CLS/pos/pad)
-    and its custom VJP == the reference VJP."""
+def test_fused_embed_matches_model_embed_chain():
+    """vit._fused_embed (transpose-free dotg) == the XLA embed chain
+    (incl. CLS/pos/pad) and its gradient == the chain's gradient."""
     import jax
     from vit_fpga_tpu.models import vit
-    from vit_fpga_tpu.ops.patch_embed import (_embed_tokens_ref,
-                                              embed_tokens_pallas)
 
     cfg = vit.ViTConfig(image_size=32, patch_size=8, hidden_dim=128,
                         depth=1, num_heads=4, mlp_dim=256, num_classes=4,
@@ -237,45 +235,27 @@ def test_embed_tokens_matches_ref_and_model_embed():
     images = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
     n, d, n_pad = cfg.seq_len, cfg.hidden_dim, 24  # 17 -> 24 (f32 sublane)
 
-    # XLA embed chain, then pad — the model's non-fused path
-    x = vit.patchify(images, cfg.patch_size)
-    x = x @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
-    cls = jnp.broadcast_to(params["cls_token"], (2, 1, d))
-    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
-    want = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+    def chain(params, images):
+        x = vit.patchify(images, cfg.patch_size)
+        x = (x @ params["patch_embed"]["kernel"]
+             + params["patch_embed"]["bias"])
+        cls = jnp.broadcast_to(params["cls_token"], (2, 1, d))
+        x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+        return jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
 
-    # fused inputs, exactly as vit._fused_embed builds them
-    p = vit.patchify(images, cfg.patch_size)
-    pp = jnp.pad(p, [(0, 0), (1, n_pad - n), (0, 0)])
-    pos = params["pos_embed"][0]
-    posb = jnp.concatenate([
-        (params["cls_token"][0, 0] + pos[0])[None],
-        pos[1:] + params["patch_embed"]["bias"],
-        jnp.zeros((n_pad - n, d), jnp.float32)], axis=0)
-    k = params["patch_embed"]["kernel"]
-
-    got = embed_tokens_pallas(pp, k, posb, interpret=True)
+    want = chain(params, images)
+    got = vit._fused_embed(params, images, cfg, n_pad)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
-    ref = _embed_tokens_ref(pp, k, posb)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
 
-    # VJP parity (the model trains through this op)
-    def loss_ref(pp, k, posb):
-        return jnp.sum(_embed_tokens_ref(pp, k, posb) ** 2)
-
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(pp, k, posb)
-    from vit_fpga_tpu.ops import patch_embed as pe
-    orig = pe.embed_tokens_pallas
-    pe.embed_tokens_pallas = functools.partial(orig, interpret=True)
-    try:
-        def loss_fused(pp, k, posb):
-            return jnp.sum(pe.embed_tokens(pp, k, posb) ** 2)
-        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(pp, k, posb)
-    finally:
-        pe.embed_tokens_pallas = orig
-    for a, b in zip(g_ref, g_fused):
+    # gradient parity (the model trains through this path)
+    g_ref = jax.grad(lambda p, x: jnp.sum(chain(p, x) ** 2),
+                     argnums=(0, 1))(params, images)
+    g_got = jax.grad(
+        lambda p, x: jnp.sum(vit._fused_embed(p, x, cfg, n_pad) ** 2),
+        argnums=(0, 1))(params, images)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_got)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-4)
 

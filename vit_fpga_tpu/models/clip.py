@@ -58,6 +58,24 @@ def init_params(key: jax.Array, cfg: vit_mod.ViTConfig,
     return base
 
 
+def _embed(params: Params, images: jax.Array,
+           cfg: vit_mod.ViTConfig) -> jax.Array:
+    """Images -> (B, N, D) tokens, CLS first, via the transpose-free
+    dotg embed (ops/patch_embed.embed_tokens_dotg).  No tail rows:
+    CLIP pads the token axis AFTER its pre-LN (padding before would
+    LayerNorm the zero rows into bias rows)."""
+    from ..ops.patch_embed import embed_tokens_dotg
+    dt = cfg.compute_dtype
+    d = cfg.hidden_dim
+    pos = params["pos_embed"][0].astype(jnp.float32)      # (N, D)
+    bias = params["patch_embed"]["bias"].astype(jnp.float32)
+    pre = params["cls_token"][0].astype(jnp.float32)      # (1, D)
+    posb = jnp.concatenate([pre + pos[:1], pos[1:] + bias], axis=0)
+    return embed_tokens_dotg(images.astype(dt),
+                             params["patch_embed"]["kernel"].astype(dt),
+                             posb, cfg.patch_size, 1)
+
+
 def forward(params: Params, images: jax.Array,
             cfg: vit_mod.ViTConfig) -> jax.Array:
     """Normalized images (B, S, S, 3) -> image embeddings
@@ -65,14 +83,7 @@ def forward(params: Params, images: jax.Array,
     similarity, as CLIP does)."""
     with vit_mod._precision_ctx(cfg):
         dt = cfg.compute_dtype
-        x = vit_mod.patchify(images.astype(dt), cfg.patch_size)
-        x = x @ params["patch_embed"]["kernel"].astype(dt)
-        x = x + params["patch_embed"]["bias"].astype(dt)
-        b = x.shape[0]
-        cls = jnp.broadcast_to(params["cls_token"].astype(dt),
-                               (b, 1, cfg.hidden_dim))
-        x = jnp.concatenate([cls, x], axis=1)
-        x = x + params["pos_embed"].astype(dt)
+        x = _embed(params, images, cfg)
         x = vit_mod._layernorm(x, params["ln_pre_scale"],
                                params["ln_pre_bias"], cfg.ln_eps)
 
@@ -392,15 +403,7 @@ def forward_latency(params: Params, images: jax.Array,
     layer index on the grid; ln_pre/ln_post/projection stay outside."""
     from ..ops.vit_stack import vit_layers_pallas
     with vit_mod._precision_ctx(cfg):
-        dt = cfg.compute_dtype
-        x = vit_mod.patchify(images.astype(dt), cfg.patch_size)
-        x = x @ params["patch_embed"]["kernel"].astype(dt)
-        x = x + params["patch_embed"]["bias"].astype(dt)
-        b = x.shape[0]
-        cls = jnp.broadcast_to(params["cls_token"].astype(dt),
-                               (b, 1, cfg.hidden_dim))
-        x = jnp.concatenate([cls, x], axis=1)
-        x = x + params["pos_embed"].astype(dt)
+        x = _embed(params, images, cfg)
         x = vit_mod._layernorm(x, params["ln_pre_scale"],
                                params["ln_pre_bias"], cfg.ln_eps)
         toks = vit_layers_pallas(x, params["blocks"], cfg.num_heads,

@@ -391,7 +391,11 @@ def int8_latency_supported(cfg: vit_mod.ViTConfig, batch: int) -> bool:
 def prep_int8_latency(qparams: Params, cfg: vit_mod.ViTConfig) -> Params:
     """One-time fold for :func:`vit_forward_int8_latency`'s CLS-LAST
     embed (posb table with patch rows first, prefix rows after — see
-    models/vit.prep_latency).  Call OUTSIDE the per-request jit."""
+    models/vit.prep_latency).  The embed weight is dequantized back to
+    bf16 for the transpose-free dotg embed: the embed GEMM is <1% of
+    model FLOPs and latency-bound, so int8 buys nothing there, while
+    bf16 drops the activation row-quant error.  Call OUTSIDE the
+    per-request jit."""
     from ..ops.common import SUBLANE_BF16, round_up
     n, d = cfg.seq_len, cfg.hidden_dim
     npre = cfg.num_prefix_tokens
@@ -404,9 +408,10 @@ def prep_int8_latency(qparams: Params, cfg: vit_mod.ViTConfig) -> Params:
         pre + pos[:npre],                           # prefix rows
         jnp.zeros((n_pad - n, d), jnp.float32),
     ], axis=0)
+    wp = (pe["wq"].astype(jnp.float32)
+          * pe["ws"].astype(jnp.float32)).astype(jnp.bfloat16)
     out = {
-        "wpq_cl": pe["wq"],
-        "wps_cl": pe["ws"],
+        "wp_cl": wp,
         "posb_cl": posb,
         "blocks": qparams["blocks"],
         "lfs": qparams["ln_f_scale"],
@@ -421,49 +426,30 @@ def vit_forward_int8_latency(qparams: Params, images: jax.Array,
                              cfg: vit_mod.ViTConfig) -> jax.Array:
     """Small-batch int8 forward through the single-launch encoder: int8
     weights HALVE the per-layer weight stream the batch-1 path waits on
-    (see ops/vit_stack.py).  When the cls-last embed fits VMEM, the XLA
-    concat(cls)/+pos/pad copies collapse into the embed kernel
-    (ops/patch_embed.py cls-last; ~20 µs at batch 1).  ``qparams`` may
-    be the plain quantize_vit_fast tree or the :func:`prep_int8_latency`
-    fold.  Inference-only."""
-    from ..ops.patch_embed import (embed_cls_last_fits,
-                                   embed_tokens_int8_cls_last)
-    from ..ops.common import SUBLANE_BF16, round_up
+    (see ops/vit_stack.py).  The embed stage is the transpose-free dotg
+    with prefix rows LAST (ops/patch_embed.embed_tokens_dotg; bf16
+    dequantized weight — see :func:`prep_int8_latency`).  ``qparams``
+    may be the plain quantize_vit_fast tree or the fold.
+    Inference-only."""
+    from ..ops.patch_embed import embed_tokens_dotg
     from ..ops.vit_stack import vit_layers_int8_pallas
     dt = jnp.bfloat16
     n, npre = cfg.seq_len, cfg.num_prefix_tokens
     npch = n - npre
-    p3 = cfg.patch_size * cfg.patch_size * 3
-    n_pad = round_up(n, SUBLANE_BF16)
     act = "quick_gelu" if cfg.hidden_act == "quick_gelu" else "gelu_tanh"
-    is_fold = "posb_cl" in qparams
-    if is_fold or embed_cls_last_fits(npch, n_pad, p3, cfg.hidden_dim, 2):
-        prep = qparams if is_fold else prep_int8_latency(qparams, cfg)
-        pch = vit_mod.patchify(images.astype(dt), cfg.patch_size)
-        x = embed_tokens_int8_cls_last(pch, prep["wpq_cl"],
-                                       prep["wps_cl"], prep["posb_cl"])
-        toks = vit_layers_int8_pallas(x, prep["blocks"], cfg.num_heads,
-                                      eps=cfg.ln_eps, act=act, n_valid=n)
-        pooled_rows = toks[:, npch:npch + 1]   # CLS moved to the end
-        src, lfs, lfb = prep, prep["lfs"], prep["lfb"]
-    else:
-        x = vit_mod.patchify(images.astype(dt), cfg.patch_size)
-        pe = qparams["patch_embed"]
-        x = _fused_lin(x, pe["wq"], pe["ws"], pe["b"])
-        b = x.shape[0]
-        cls = jnp.broadcast_to(qparams["cls_token"].astype(dt),
-                               (b, 1, cfg.hidden_dim))
-        x = jnp.concatenate([cls, x], axis=1)
-        x = x + qparams["pos_embed"].astype(dt)
-        toks = vit_layers_int8_pallas(x, qparams["blocks"], cfg.num_heads,
-                                      eps=cfg.ln_eps, act=act)
-        pooled_rows = toks[:, :1]
-        src, lfs, lfb = (qparams, qparams["ln_f_scale"],
-                         qparams["ln_f_bias"])
-    cls_t = vit_mod._layernorm(pooled_rows, lfs, lfb, cfg.ln_eps)
-    if "head" not in src:
+    prep = (qparams if "posb_cl" in qparams
+            else prep_int8_latency(qparams, cfg))
+    x = embed_tokens_dotg(images.astype(dt), prep["wp_cl"],
+                          prep["posb_cl"], cfg.patch_size, npre,
+                          prefix_last=True)
+    toks = vit_layers_int8_pallas(x, prep["blocks"], cfg.num_heads,
+                                  eps=cfg.ln_eps, act=act, n_valid=n)
+    pooled_rows = toks[:, npch:npch + 1]   # CLS moved to the end
+    cls_t = vit_mod._layernorm(pooled_rows, prep["lfs"], prep["lfb"],
+                               cfg.ln_eps)
+    if "head" not in prep:
         return cls_t[:, 0].astype(jnp.float32)
-    hd = src["head"]
+    hd = prep["head"]
     return _fused_lin(cls_t, hd["wq"], hd["ws"], hd["b"])[:, 0].astype(
         jnp.float32)
 

@@ -354,21 +354,17 @@ def _precision_ctx(cfg: ViTConfig):
 
 def _fused_embed(params: Params, images: jax.Array, cfg: ViTConfig,
                  n_pad: int) -> jax.Array:
-    """Images -> PADDED (B, n_pad, D) tokens via one Pallas kernel.
+    """Images -> PADDED (B, n_pad, D) tokens, prefix rows first.
 
-    GEMM + bias + pos-embed + prefix rows + tail zeros fuse into a single
-    pass (ops/patch_embed.embed_tokens); XLA's equivalent chain costs
-    three extra HBM round-trips over the token tensor.  The prefix
-    (CLS/distill) rows ride a folded (n_pad, D) table — see
-    ops/patch_embed.py."""
-    from ..ops.patch_embed import embed_tokens
+    Transpose-free dotg embed (ops/patch_embed.embed_tokens_dotg): the
+    patchify transpose — the stage's real cost, measured in
+    experiments/perf_patchify.py — never happens; GEMM + bias +
+    pos-embed + prefix rows + tail zeros assemble in one XLA program.
+    The prefix (CLS/distill) rows ride a folded (n_pad, D) table."""
+    from ..ops.patch_embed import embed_tokens_dotg
     dt = cfg.compute_dtype
     n, d = cfg.seq_len, cfg.hidden_dim
     npre = cfg.num_prefix_tokens
-    p = patchify(images.astype(dt), cfg.patch_size)       # (B, N-P, P²3)
-    # leading zero rows (prefix slots) + tail pad rows; XLA fuses this
-    # pad into patchify's transpose copy
-    pp = jnp.pad(p, [(0, 0), (npre, n_pad - n), (0, 0)])
     pos = params["pos_embed"][0].astype(jnp.float32)      # (N, D)
     bias = params["patch_embed"]["bias"].astype(jnp.float32)
     pre = params["cls_token"][0].astype(jnp.float32)      # (P, D)
@@ -377,8 +373,9 @@ def _fused_embed(params: Params, images: jax.Array, cfg: ViTConfig,
         pos[npre:] + bias,                                 # patch rows
         jnp.zeros((n_pad - n, d), jnp.float32),            # tail
     ], axis=0)
-    return embed_tokens(pp, params["patch_embed"]["kernel"].astype(dt),
-                        posb)
+    return embed_tokens_dotg(images.astype(dt),
+                             params["patch_embed"]["kernel"].astype(dt),
+                             posb, cfg.patch_size, npre)
 
 
 # ---------------------------------------------------------------------------
@@ -547,12 +544,8 @@ def _forward_features(params: Params, images: jax.Array,
     sub = 16 if dt == jnp.bfloat16 else 8
     n_pad = round_up(n, sub)
 
-    from ..ops.patch_embed import embed_tokens_fits
-    if (jax.default_backend() == "tpu"
-            and cfg.attn_impl in ("auto", "pallas")
-            and embed_tokens_fits(n_pad, cfg.patch_size ** 2 * 3,
-                                  cfg.hidden_dim,
-                                  2 if dt == jnp.bfloat16 else 4)):
+    if cfg.attn_impl in ("auto", "pallas"):
+        # transpose-free dotg embed: pure XLA, no fit-gate, any backend
         x = _fused_embed(params, images, cfg, n_pad)
     else:
         x = patchify(images.astype(dt), cfg.patch_size)
@@ -652,7 +645,7 @@ def prep_latency(params: Params, cfg: ViTConfig) -> Params:
     """One-time fold for :func:`forward_latency`'s CLS-LAST embed: the
     compute-dtype kernel cast and the posb table with patch rows FIRST
     and the prefix rows after them (attention is permutation-equivariant,
-    so token order is a free choice — ops/patch_embed.py cls-last).
+    so token order is a free choice — ops/patch_embed.embed_tokens_dotg).
     Call OUTSIDE the per-request jit so none of this runs per call."""
     dt = cfg.compute_dtype
     n, d = cfg.seq_len, cfg.hidden_dim
@@ -687,54 +680,33 @@ def forward_latency(params: Params, images: jax.Array,
     """Small-batch single-launch forward for LATENCY serving: the whole
     encoder runs as ONE pallas_call with the layer index on the grid, so
     layer i+1's weights stream from HBM while layer i computes
-    (ops/vit_stack.py).  When the cls-last embed fits VMEM, the XLA
-    embed chain (GEMM -> concat(cls) -> +pos -> pad: each a fresh copy
-    of the token tensor, ~15-20 µs at batch 1) collapses into ONE
-    kernel consuming the unpadded patch matrix, with the prefix rows
-    placed AFTER the patches so the GEMM output stays at row offset 0
-    (ops/patch_embed.py).  ``params`` may be the plain tree or the
-    :func:`prep_latency` fold.  Inference-only (no VJP); use
-    :func:`forward` for training/throughput."""
-    from ..ops.patch_embed import (embed_cls_last_fits,
-                                   embed_tokens_cls_last)
+    (ops/vit_stack.py).  The embed stage is the transpose-free dotg
+    (ops/patch_embed.embed_tokens_dotg) with the prefix rows placed
+    AFTER the patches so the GEMM body lands at row offset 0 — the
+    patchify transpose and the pad copy never happen (~8 µs vs ~18 µs
+    for the XLA chain at batch 1, experiments/perf_patchify.py).
+    ``params`` may be the plain tree or the :func:`prep_latency` fold.
+    Inference-only (no VJP); use :func:`forward` for
+    training/throughput."""
+    from ..ops.patch_embed import embed_tokens_dotg
     from ..ops.vit_stack import vit_layers_pallas
     with _precision_ctx(cfg):
         dt = cfg.compute_dtype
         n, npre = cfg.seq_len, cfg.num_prefix_tokens
         npch = n - npre
-        p3 = cfg.patch_size * cfg.patch_size * 3
-        n_pad = _round_up_sub(n, dt)
         act = cfg.hidden_act
         if act == "gelu":
             act = "gelu_tanh"   # bf16 compute; see _hidden_act
-        is_fold = "posb_cl" in params
-        if is_fold or embed_cls_last_fits(npch, n_pad, p3, cfg.hidden_dim,
-                                          jnp.dtype(dt).itemsize):
-            prep = params if is_fold else prep_latency(params, cfg)
-            pch = patchify(images.astype(dt), cfg.patch_size)
-            x = embed_tokens_cls_last(pch, prep["wp_cl"], prep["posb_cl"])
-            toks = vit_layers_pallas(x, prep["blocks"], cfg.num_heads,
-                                     eps=cfg.ln_eps, act=act, n_valid=n)
-            pooled_rows = toks[:, npch:npch + 1]   # CLS moved to the end
-            lfs, lfb = prep["lfs"], prep["lfb"]
-            wh, bh = prep["wh"], prep["bh"]
-        else:
-            x = patchify(images.astype(dt), cfg.patch_size)
-            x = x @ params["patch_embed"]["kernel"].astype(dt)
-            x = x + params["patch_embed"]["bias"].astype(dt)
-            b = x.shape[0]
-            cls = jnp.broadcast_to(
-                params["cls_token"].astype(dt),
-                (b, cfg.num_prefix_tokens, cfg.hidden_dim))
-            x = jnp.concatenate([cls, x], axis=1)
-            x = x + params["pos_embed"].astype(dt)
-            toks = vit_layers_pallas(x, params["blocks"], cfg.num_heads,
-                                     eps=cfg.ln_eps, act=act)
-            pooled_rows = toks[:, :1]
-            lfs, lfb = params["ln_f_scale"], params["ln_f_bias"]
-            wh, bh = params["head"]["kernel"], params["head"]["bias"]
-        pooled = _layernorm(pooled_rows, lfs, lfb, cfg.ln_eps)[:, 0]
-        return pooled.astype(jnp.float32) @ wh + bh
+        prep = params if "posb_cl" in params else prep_latency(params, cfg)
+        x = embed_tokens_dotg(images.astype(dt), prep["wp_cl"],
+                              prep["posb_cl"], cfg.patch_size, npre,
+                              prefix_last=True)
+        toks = vit_layers_pallas(x, prep["blocks"], cfg.num_heads,
+                                 eps=cfg.ln_eps, act=act, n_valid=n)
+        pooled_rows = toks[:, npch:npch + 1]   # CLS moved to the end
+        pooled = _layernorm(pooled_rows, prep["lfs"], prep["lfb"],
+                            cfg.ln_eps)[:, 0]
+        return pooled.astype(jnp.float32) @ prep["wh"] + prep["bh"]
 
 
 def full_latency_supported(cfg: ViTConfig, batch: int) -> bool:

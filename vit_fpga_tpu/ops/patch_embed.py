@@ -65,99 +65,78 @@ def patch_embed_xla(images_u8: jax.Array, kernel_f: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# Fused token-assembly embed (round 2): one kernel turns the patch matrix
-# into the PADDED token tensor the padded-residency encoder consumes —
-# GEMM + bias + positional embedding + CLS row + tail zeros in one pass,
-# replacing XLA's embed-GEMM -> concat(cls) -> +pos -> pad chain (each a
-# full HBM round-trip over the ~20 MB token tensor at ViT-B b64).
+# Transpose-free fused embed (round 3): the patchify transpose is the
+# embed stage's real cost, not the GEMM.  perf_lat_split.py measured the
+# XLA astype+patchify+pad chain at ~18 us at batch 1 (the GEMM is ~1 us
+# of MXU time); experiments/perf_patchify.py then raced four ways to
+# build the token tensor from a raw (B, H, W, 3) image:
 #
-# The CLS row needs no in-kernel concat: the caller pads the patch matrix
-# with a leading zero row (fused into patchify's transpose copy by XLA)
-# and folds cls_token+pos[0] into row 0 of a (n_pad, D) "posb" table —
-# row 0 of the GEMM output is 0, so adding the table plants the CLS row;
-# the GEMM bias is folded into the table's patch rows; tail rows are 0.
+#   patchify -> Pallas embed kernel   13-20 us   (round-2 path)
+#   lax.conv stride P                 ~78 us     (XLA conv lowering)
+#   multi-contracting dot_general      8-11 us   <- winner
+#   Pallas strip kernel               13-19 us   (ties the round-2 path)
+#
+# The winner reshapes (B, H, W, 3) -> (B, gh, P, gw, P*3) — every split
+# is contiguous, NO transpose — and contracts dims (P, P*3) of the image
+# against a (P, P*3, D) view of the kernel:
+#
+#   tokens[b, gy, gx, d] = sum_{py, qx} x5[b, gy, py, gx, qx] K3[py, qx, d]
+#
+# which is exactly the patch-embedding GEMM with the (py) contraction
+# hoisted into a second contracting dimension, so XLA's MXU lowering
+# absorbs the patch gather and the relayout pass disappears.  At batch
+# 64 the same trick beats the round-2 fused embed kernel 260 us vs
+# 315 us (the kernel still paid for patchify upstream).  Pure XLA: no
+# VMEM fit-gate, works on CPU, differentiable natively — it supersedes
+# the round-2 embed_tokens Pallas kernel and the cls-last variants.
+#
+# Token ORDER remains a free choice (attention is permutation-
+# equivariant).  The throughput path keeps prefix-FIRST (CLS at row 0);
+# the latency path uses prefix-LAST so the GEMM body lands at row
+# offset 0 and the pooling row moves to index n_patches
+# (models/vit.forward_latency).
 # ---------------------------------------------------------------------------
 
 
-def embed_tokens_fits(n_pad: int, p3: int, d: int, itemsize: int,
-                      budget: int = 13 * 1024 * 1024) -> bool:
-    """VMEM fit-gate for the fused token-assembly embed (mirrors
-    attn_block's planner, ADVICE r2): per grid step the kernel holds the
-    double-buffered (n_pad, P²3) patch block and (n_pad, D) out block,
-    the (P²3, D) weight, and the f32 (n_pad, D) posb table.  Oversize
-    geometries (e.g. ViT-H/14 at 448px) fall back to the XLA embed
-    chain instead of failing at compile time."""
-    need = (2 * n_pad * p3 * itemsize      # in, double-buffered
-            + 2 * n_pad * d * itemsize     # out, double-buffered
-            + p3 * d * itemsize            # kernel
-            + n_pad * d * 4)               # posb (f32)
-    return need <= budget
+def embed_tokens_dotg(images: jax.Array, kernel: jax.Array,
+                      posb: jax.Array, patch: int, n_prefix: int,
+                      prefix_last: bool = False,
+                      out_dtype=None) -> jax.Array:
+    """(B, H, W, 3) images -> (B, n_pad, D) tokens, no transpose.
 
+    ``kernel`` is the (P*P*3, D) patch-embed weight in compute dtype,
+    pixel order (py, px, c).  ``posb`` is the (n_pad, D) f32 fold of
+    bias + pos-embed (+ prefix token rows, + zero tail rows); its row
+    order must match ``prefix_last``:
 
-def _embed_tokens_kernel(p_ref, k_ref, pb_ref, o_ref):
-    acc = jnp.dot(p_ref[0], k_ref[:], preferred_element_type=jnp.float32)
-    o_ref[0] = (acc + pb_ref[:]).astype(o_ref.dtype)
+      prefix_last=False: [prefix rows | patch rows | tail]
+      prefix_last=True:  [patch rows | prefix rows | tail]
 
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def embed_tokens_pallas(patches_padded: jax.Array, kernel: jax.Array,
-                        posb: jax.Array, interpret: bool = False):
-    """(B, n_pad, P*P*3) zero-row-0 patches -> (B, n_pad, D) tokens.
-
-    ``posb`` is the (n_pad, D) f32 fold of bias/cls/pos described above.
-    Output dtype follows ``kernel``'s dtype (the compute dtype).
+    The patch-row slice of ``posb`` carries pos+bias; prefix rows carry
+    cls+pos; tail rows are zero.  n_pad == posb.shape[0] may equal the
+    unpadded N (no tail) — e.g. CLIP pads after its pre-LN instead.
     """
-    b, n_pad, p3 = patches_padded.shape
-    d = kernel.shape[-1]
-    out = pl.pallas_call(
-        _embed_tokens_kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n_pad, p3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p3, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), kernel.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_pad * p3 * d,
-            bytes_accessed=(b * n_pad * (p3 + d)
-                            * patches_padded.dtype.itemsize),
-            transcendentals=0),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
-        interpret=interpret,
-    )(patches_padded, kernel, posb.astype(jnp.float32))
-    return out
+    b, h, w, _ = images.shape
+    gh, gw = h // patch, w // patch
+    npch = gh * gw
+    n_pad, d = posb.shape
+    dt = out_dtype or kernel.dtype
+    x5 = images.reshape(b, gh, patch, gw, patch * 3)
+    k3 = kernel.reshape(patch, patch * 3, d)
+    y = jax.lax.dot_general(x5, k3, (((2, 4), (0, 1)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    flat = y.reshape(b, npch, d)
+    posb = posb.astype(jnp.float32)
+    lo = 0 if prefix_last else n_prefix      # posb row where patches start
+    body = (flat + posb[None, lo:lo + npch]).astype(dt)
 
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def embed_tokens(patches_padded, kernel, posb):
-    """Differentiable fused embed: Pallas forward, XLA backward."""
-    return embed_tokens_pallas(patches_padded, kernel, posb)
-
-
-def _embed_tokens_ref(patches_padded, kernel, posb):
-    acc = jnp.einsum("bnp,pd->bnd", patches_padded, kernel,
-                     preferred_element_type=jnp.float32)
-    return (acc + posb.astype(jnp.float32)).astype(kernel.dtype)
-
-
-def _embed_tokens_fwd(patches_padded, kernel, posb):
-    return embed_tokens_pallas(patches_padded, kernel, posb), (
-        patches_padded, kernel, posb)
-
-
-def _embed_tokens_bwd(res, g):
-    _, vjp = jax.vjp(_embed_tokens_ref, *res)
-    return vjp(g)
-
-
-embed_tokens.defvjp(_embed_tokens_fwd, _embed_tokens_bwd)
+    def bcast(rows):                          # constant rows, broadcast on B
+        return jnp.broadcast_to(rows.astype(dt)[None],
+                                (b,) + rows.shape)
+    parts = [body] if prefix_last else [bcast(posb[:n_prefix]), body]
+    if lo + npch < n_pad:                     # prefix-last rest / tail rows
+        parts.append(bcast(posb[lo + npch:]))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
 def _pe_kernel(img_ref, k_ref, b_ref, o_ref, *, patch: int, gw: int,
@@ -213,111 +192,4 @@ def patch_embed_pallas(images_u8: jax.Array, kernel_f: jax.Array,
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(images_u8, k3, bias_f.reshape(1, -1))
-    return out
-
-
-# ---------------------------------------------------------------------------
-# CLS-LAST fused embed (round 3): consumes the raw patchify output with
-# NO padding pass.  XLA's pad of the (196, P²3) patch matrix costs
-# ~15-20 µs at batch 1 (experiments/perf_lat_split.py — the pad
-# materializes a fresh padded tensor whether or not the prefix shift is
-# present, while patchify itself is ~3 µs).  Attention is permutation-
-# equivariant, so token ORDER is a free choice: putting the CLS/prefix
-# rows AFTER the patches ("cls-last") keeps the patch GEMM's output
-# rows at offset 0 (aligned), and the prefix + tail-zero rows come from
-# the posb table alone.  Valid tokens stay contiguous (0..n-1), so the
-# encoder's n_valid mask is unchanged; only the pooling row moves to
-# the end (models/vit.forward_latency).
-# ---------------------------------------------------------------------------
-
-
-def embed_cls_last_fits(n_patches: int, n_pad: int, p3: int, d: int,
-                        itemsize: int,
-                        budget: int = 13 * 1024 * 1024) -> bool:
-    """VMEM fit-gate for the cls-last embed (mirrors embed_tokens_fits;
-    the in block is the UNPADDED patch matrix)."""
-    need = (2 * n_patches * p3 * itemsize   # in, double-buffered
-            + 2 * n_pad * d * itemsize      # out, double-buffered
-            + p3 * d * itemsize             # kernel
-            + n_pad * d * 4)                # posb (f32)
-    return need <= budget
-
-
-def _embed_cls_last_kernel(p_ref, k_ref, pb_ref, o_ref, *,
-                           n_patches: int):
-    acc = jnp.dot(p_ref[0], k_ref[:], preferred_element_type=jnp.float32)
-    o_ref[0, :n_patches] = (acc + pb_ref[:n_patches]).astype(o_ref.dtype)
-    o_ref[0, n_patches:] = pb_ref[n_patches:].astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def embed_tokens_cls_last(patches: jax.Array, kernel: jax.Array,
-                          posb: jax.Array, interpret: bool = False):
-    """(B, n_patches, P*P*3) UNPADDED patches -> (B, n_pad, D) tokens,
-    prefix rows at the END.  ``posb`` is (n_pad, D) f32:
-    rows [0, n_patches) = pos+bias for the patch rows, rows
-    [n_patches, n) = cls+pos for the prefix rows, tail rows zero."""
-    b, npch, p3 = patches.shape
-    n_pad, d = posb.shape
-    out = pl.pallas_call(
-        functools.partial(_embed_cls_last_kernel, n_patches=npch),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, npch, p3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p3, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), kernel.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
-        interpret=interpret,
-    )(patches, kernel, posb.astype(jnp.float32))
-    return out
-
-
-def _embed_int8_cls_last_kernel(p_ref, k_ref, s_ref, pb_ref, o_ref, *,
-                                n_patches: int):
-    from .quant_block import _row_quant
-    xq, sx = _row_quant(p_ref[0].astype(jnp.float32))
-    acc = jax.lax.dot_general(xq, k_ref[:], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    emb = acc.astype(jnp.float32) * (sx * s_ref[0])
-    o_ref[0, :n_patches] = (emb + pb_ref[:n_patches]).astype(o_ref.dtype)
-    o_ref[0, n_patches:] = pb_ref[n_patches:].astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def embed_tokens_int8_cls_last(patches: jax.Array, wq: jax.Array,
-                               ws: jax.Array, posb: jax.Array,
-                               interpret: bool = False):
-    """Int8 cls-last embed: in-kernel row quantization of the patch
-    rows, int8 GEMM, rank-1 dequant, posb add.  Output bf16."""
-    b, npch, p3 = patches.shape
-    n_pad, d = posb.shape
-    out = pl.pallas_call(
-        functools.partial(_embed_int8_cls_last_kernel, n_patches=npch),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, npch, p3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p3, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), jnp.bfloat16),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
-        interpret=interpret,
-    )(patches, wq, ws.reshape(1, d).astype(jnp.float32),
-      posb.astype(jnp.float32))
     return out

@@ -274,10 +274,8 @@ def _forward_local(params: Params, images: jax.Array, cfg: vit.ViTConfig,
         return (pooled.astype(jnp.float32) @ params["head"]["kernel"]
                 + params["head"]["bias"])
 
-    from ..ops.patch_embed import embed_tokens_fits
-    if impl == "pallas" and embed_tokens_fits(
-            n_pad, cfg.patch_size ** 2 * 3, d,
-            2 if dt == jnp.bfloat16 else 4):
+    if impl == "pallas":
+        # transpose-free dotg embed (pure XLA, shards on batch freely)
         x = vit._fused_embed(params, images, cfg, n_pad)
     else:
         x = vit.patchify(images.astype(dt), cfg.patch_size)
