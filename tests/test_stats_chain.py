@@ -114,6 +114,18 @@ def test_stats_chain_gating():
     assert not vit._stats_chain_supported(rem, 64)
 
 
+def test_mlp_vmem_plan_raised_for_long_grids():
+    """ViT-B's unchunked MLP keeps the default scoped-VMEM plan at b64
+    but needs the raised plan at >=32768 rows: Mosaic deepens its buffer
+    pipeline with grid length and the 16 MB default OOMs at compile time
+    (observed at b256: 17.27M > 16M)."""
+    from vit_fpga_tpu.models import vit
+    from vit_fpga_tpu.ops.fused_mlp import MLP_BIG_VMEM
+    cfg = vit.config("vit_b16", dtype="bfloat16")
+    assert vit._stats_chain_mlp_vmem(cfg, 64 * 208) == 0
+    assert vit._stats_chain_mlp_vmem(cfg, 256 * 208) == MLP_BIG_VMEM
+
+
 def test_encoder_chain_xla_matches_block_loop():
     """The chain's XLA reference (used for its VJP) equals the normal
     block loop on CPU."""

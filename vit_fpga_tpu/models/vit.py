@@ -295,6 +295,11 @@ def _block(x, blk, cfg: ViTConfig, n_valid: int | None = None):
         if (n_chunks > 1 and itemsize == 2 and b * n >= 32768
                 and mlp_fits_raised(cfg.hidden_dim, cfg.mlp_dim, itemsize)):
             n_chunks, mlp_vmem = 1, MLP_BIG_VMEM
+        elif n_chunks == 1 and b * n >= 32768:
+            # very long grids (ViT-B b>=160): Mosaic deepens its buffer
+            # pipeline and the default 16 MB scoped plan OOMs at compile
+            # time (observed at b256: 17.27M > 16M); raise the plan
+            mlp_vmem = MLP_BIG_VMEM
         mlp_impl = ("pallas" if jax.default_backend() == "tpu"
                     and n_chunks == 1 else "xla")
     elif mlp_impl == "pallas":
@@ -402,7 +407,11 @@ def _stats_chain_mlp_vmem(cfg: ViTConfig, rows: int) -> Optional[int]:
     itemsize = 2 if cfg.dtype == "bfloat16" else 4
     n_chunks = mlp_weight_chunks(cfg.hidden_dim, cfg.mlp_dim, itemsize)
     if n_chunks == 1:
-        return 0
+        # very long grids (ViT-B b>=160) need the raised scoped-VMEM
+        # plan: Mosaic deepens its buffer pipeline with grid length and
+        # the default 16 MB plan OOMs at compile time (observed at b256:
+        # 17.27M > 16M for the stats MLP kernel)
+        return MLP_BIG_VMEM if rows >= 32768 else 0
     if (n_chunks > 1 and itemsize == 2 and rows >= 32768
             and mlp_fits_raised(cfg.hidden_dim, cfg.mlp_dim, itemsize)):
         return MLP_BIG_VMEM
