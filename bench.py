@@ -94,10 +94,17 @@ def main(argv):
         # fast row-wise fused path (the per-tensor bit-exact path is the
         # parity harness, not the serving path)
         from vit_fpga_tpu.models import quantized
-        qparams = jax.device_put(quantized.quantize_vit_fast(params))
+        if is_clip:
+            qparams = jax.device_put(
+                quantized.quantize_clip_vision_fast(params))
 
-        def fwd(p, x):
-            return quantized.vit_forward_int8_fast(p, x, cfg)
+            def fwd(p, x):
+                return quantized.clip_forward_int8_fast(p, x, cfg)
+        else:
+            qparams = jax.device_put(quantized.quantize_vit_fast(params))
+
+            def fwd(p, x):
+                return quantized.vit_forward_int8_fast(p, x, cfg)
 
         run_params = qparams
     else:

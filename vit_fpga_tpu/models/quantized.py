@@ -335,24 +335,33 @@ def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig,
 
 def vit_forward_int8_fast(qparams: Params, images: jax.Array,
                           cfg: vit_mod.ViTConfig) -> jax.Array:
-    """Fast int8 ViT: bf16 activations, fused row-wise int8 linears."""
-    dt = jnp.bfloat16
-    x = vit_mod.patchify(images.astype(dt), cfg.patch_size)
-    pe = qparams["patch_embed"]
-    x = _fused_lin(x, pe["wq"], pe["ws"], pe["b"])
-    b = x.shape[0]
-    cls = jnp.broadcast_to(qparams["cls_token"].astype(dt),
-                           (b, 1, cfg.hidden_dim))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + qparams["pos_embed"].astype(dt)
+    """Fast int8 ViT: bf16 activations, fused row-wise int8 linears.
 
-    # padded residency (see vit._forward_features): pad once, run all
-    # blocks with n_valid, slice once — no per-layer pad/slice copies
-    n = cfg.seq_len
+    The embed stage runs the transpose-free bf16 dotg
+    (ops/patch_embed.embed_tokens_dotg) on a dequantized weight: the
+    embed GEMM is <1% of model FLOPs, the patchify transpose it
+    replaces costs more than int8 saves there, and bf16 drops the
+    activation row-quant error (the per-layer blocks stay int8)."""
     from ..ops.common import SUBLANE_BF16, round_up
+    from ..ops.patch_embed import embed_tokens_dotg
+    dt = jnp.bfloat16
+    n, d = cfg.seq_len, cfg.hidden_dim
+    npre = cfg.num_prefix_tokens
     n_pad = round_up(n, SUBLANE_BF16)
-    if n_pad != n:
-        x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+    pe = qparams["patch_embed"]
+    pos = qparams["pos_embed"][0].astype(jnp.float32)
+    pre = qparams["cls_token"][0].astype(jnp.float32)
+    posb = jnp.concatenate([
+        pre + pos[:npre],
+        pos[npre:] + pe["b"].astype(jnp.float32),
+        jnp.zeros((n_pad - n, d), jnp.float32),
+    ], axis=0)
+    wp = (pe["wq"].astype(jnp.float32)
+          * pe["ws"].astype(jnp.float32)).astype(dt)
+    # padded residency (see vit._forward_features): the posb tail rows
+    # pad once in-embed; all blocks run with n_valid, slice once
+    x = embed_tokens_dotg(images.astype(dt), wp, posb, cfg.patch_size,
+                          npre)
 
     def step(carry, blk):
         return _qblock_fast(carry, blk, cfg, n_valid=n), None
@@ -555,16 +564,21 @@ def quantize_clip_vision_fast(params: Params) -> Params:
 def clip_forward_int8_fast(qparams: Params, images: jax.Array,
                            cfg: vit_mod.ViTConfig) -> jax.Array:
     """Fast int8 CLIP image encoder: normalized images -> embeddings.
-    Semantics mirror models/clip.forward with the int8 block kernels."""
+    Semantics mirror models/clip.forward with the int8 block kernels
+    (incl. the transpose-free bf16 dotg embed — see
+    vit_forward_int8_fast; CLIP pads AFTER its pre-LN, so no tail rows
+    in the posb table)."""
+    from ..ops.patch_embed import embed_tokens_dotg
     dt = jnp.bfloat16
-    x = vit_mod.patchify(images.astype(dt), cfg.patch_size)
+    d = cfg.hidden_dim
     pe = qparams["patch_embed"]
-    x = _fused_lin(x, pe["wq"], pe["ws"], pe["b"])
-    b = x.shape[0]
-    cls = jnp.broadcast_to(qparams["cls_token"].astype(dt),
-                           (b, 1, cfg.hidden_dim))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + qparams["pos_embed"].astype(dt)
+    pos = qparams["pos_embed"][0].astype(jnp.float32)
+    pre = qparams["cls_token"][0].astype(jnp.float32)
+    posb = jnp.concatenate([pre + pos[:1],
+                            pos[1:] + pe["b"].astype(jnp.float32)], axis=0)
+    wp = (pe["wq"].astype(jnp.float32)
+          * pe["ws"].astype(jnp.float32)).astype(dt)
+    x = embed_tokens_dotg(images.astype(dt), wp, posb, cfg.patch_size, 1)
     x = vit_mod._layernorm(x, qparams["ln_pre_scale"],
                            qparams["ln_pre_bias"], cfg.ln_eps)
 
