@@ -141,12 +141,147 @@ def attn_plan(n_heads: int, d: int, n_pad: int, kv_pad: int,
     return AttnPlan(1, 0, True, 0)
 
 
+def pair_pack_ok(dh: int, n_heads: int, n_sc: int) -> bool:
+    """Head-PAIR-packed score GEMMs apply when every phase group has an
+    even head count and dh == 64 (the half-lane case they exist for)."""
+    return (dh == 64 and n_sc >= 2 and n_sc % 2 == 0
+            and (n_heads % n_sc) % 2 == 0)
+
+
+def _mha_loop(x, qkv_ref, scores_ref, ao_ref, *, imgs: int, n_pad: int,
+              kv_pad: int, n_heads: int, dh: int, n_sc: int, scale: float,
+              n_valid: int, safe_softmax: bool, pairs: bool):
+    """Per-image multi-head attention over the zero-tailed K/V panel.
+
+    ``ao_ref is None`` selects the q-slot-reuse tier (pv overwrites the
+    dead q lanes).  ``pairs`` packs head PAIRS per score GEMM: at dh=64
+    the per-head QK^T (K=64) and PV (N=64) GEMMs use half the MXU lanes,
+    so computing two heads block-diagonally costs the same MXU cycles
+    while halving GEMM count — and every q/k/v slice becomes 128-lane
+    aligned, deleting the half-tile relayout glue (+0.3 ms / 12 ViT-B
+    layers, bit-exact; experiments/perf_attn_pair.py).  The block-diag
+    panels need no transposes: adjacent heads already live in their own
+    64-lane halves, so kbd/vbd are two lane-masked selects stacked on
+    the sublane axis.
+    """
+    d = n_heads * dh
+    q_scaled = (x.dtype != jnp.bfloat16
+                or math.frexp(scale)[0] == 0.5)
+    if not pairs:
+        if n_valid < kv_pad:
+            coli = jax.lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
+            colbias = jnp.where(coli < n_valid, 0.0, _NEG_INF)
+        else:
+            colbias = None
+        for b in range(imgs):
+            for g in range(0, n_heads, n_sc):
+                heads = range(g, min(g + n_sc, n_heads))
+                for h in heads:
+                    q = qkv_ref[b, :n_pad, h * dh:(h + 1) * dh]
+                    if q_scaled:
+                        q = q * x.dtype.type(scale)
+                    k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
+                    scores_ref[h - g] = jax.lax.dot_general(
+                        q, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                for h in heads:
+                    s = scores_ref[h - g]
+                    if not q_scaled:
+                        s = s * scale
+                    if safe_softmax:
+                        if colbias is not None:
+                            s = s + colbias
+                        s = s - jnp.max(s, axis=-1, keepdims=True)
+                        e = jnp.exp(s)
+                    else:
+                        s = jnp.clip(s, _EXP_LO, _EXP_HI)
+                        if colbias is not None:
+                            s = s + colbias
+                        e = jnp.exp(s)
+                    denom = jnp.sum(e, axis=-1, keepdims=True)
+                    v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+                    pv = jnp.dot(
+                        e.astype(x.dtype), v,
+                        preferred_element_type=jnp.float32)
+                    pv = (pv * jax.lax.reciprocal(denom)).astype(x.dtype)
+                    if ao_ref is not None:
+                        ao_ref[b * n_pad:(b + 1) * n_pad,
+                               h * dh:(h + 1) * dh] = pv
+                    else:
+                        qkv_ref[b, :n_pad, h * dh:(h + 1) * dh] = pv
+        return
+
+    dw = 2 * dh
+    if n_valid < kv_pad:
+        coli = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * kv_pad), 1)
+        colbias = jnp.where(coli % kv_pad < n_valid, 0.0, _NEG_INF)
+    else:
+        colbias = None
+    # which head of the pair each panel lane / output lane belongs to
+    lanei = jax.lax.broadcasted_iota(jnp.int32, (kv_pad, dw), 1) // dh
+    lane_sm = jax.lax.broadcasted_iota(jnp.int32, (n_pad, dw), 1) // dh
+    if safe_softmax:
+        lane_kv = jax.lax.broadcasted_iota(
+            jnp.int32, (n_pad, 2 * kv_pad), 1) < kv_pad
+    for b in range(imgs):
+        for g in range(0, n_heads, n_sc):
+            npair = (min(g + n_sc, n_heads) - g) // 2
+            for sl in range(npair):
+                h = g + 2 * sl
+                q2 = qkv_ref[b, :n_pad, h * dh:(h + 2) * dh]
+                if q_scaled:
+                    q2 = q2 * x.dtype.type(scale)
+                ks = qkv_ref[b, :, d + h * dh:d + (h + 2) * dh]
+                kbd = jnp.concatenate(
+                    [jnp.where(lanei == 0, ks, 0),
+                     jnp.where(lanei == 1, ks, 0)], axis=0)
+                scores_ref[sl] = jax.lax.dot_general(
+                    q2, kbd, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            for sl in range(npair):
+                h = g + 2 * sl
+                s = scores_ref[sl]            # (n_pad, 2*kv_pad)
+                if not q_scaled:
+                    s = s * scale
+                if safe_softmax:
+                    if colbias is not None:
+                        s = s + colbias
+                    m0 = jnp.max(s[:, :kv_pad], axis=-1, keepdims=True)
+                    m1 = jnp.max(s[:, kv_pad:], axis=-1, keepdims=True)
+                    e = jnp.exp(s - jnp.where(lane_kv, m0, m1))
+                else:
+                    s = jnp.clip(s, _EXP_LO, _EXP_HI)
+                    if colbias is not None:
+                        s = s + colbias
+                    e = jnp.exp(s)
+                # per-head denominators from lane-aligned halves; the
+                # (n_pad, dw) divisor tile is one select (Mosaic has no
+                # lane-splitting reshape)
+                r0 = jax.lax.reciprocal(
+                    jnp.sum(e[:, :kv_pad], axis=-1, keepdims=True))
+                r1 = jax.lax.reciprocal(
+                    jnp.sum(e[:, kv_pad:], axis=-1, keepdims=True))
+                div = jnp.where(lane_sm == 0, r0, r1)
+                vs = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 2) * dh]
+                vbd = jnp.concatenate(
+                    [jnp.where(lanei == 0, vs, 0),
+                     jnp.where(lanei == 1, vs, 0)], axis=0)
+                pv = jnp.dot(e.astype(x.dtype), vbd,
+                             preferred_element_type=jnp.float32)
+                pv = (pv * div).astype(x.dtype)
+                if ao_ref is not None:
+                    ao_ref[b * n_pad:(b + 1) * n_pad,
+                           h * dh:(h + 2) * dh] = pv
+                else:
+                    qkv_ref[b, :n_pad, h * dh:(h + 2) * dh] = pv
+
+
 def _attn_block_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wo_ref,
                        bo_ref, o_ref, qkv_ref, scores_ref, *maybe_ao,
                        eps: float, scale: float, n_valid: int, n_pad: int,
                        kv_pad: int, n_heads: int, dh: int, n_sc: int,
                        imgs: int, residual: bool = True,
-                       safe_softmax: bool = False):
+                       safe_softmax: bool = False, pairs: bool = False):
     ao_ref = maybe_ao[0] if maybe_ao else None
     d = n_heads * dh            # attention width (= dm except under tp)
     dm = x_ref.shape[-1]        # model width
@@ -198,70 +333,16 @@ def _attn_block_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wo_ref,
     #     semantics, so no denominator tricks with cancellation hazards;
     #   * the normalizing divide moves AFTER PV: a (n_pad, dh) broadcast
     #     multiply instead of a (n_pad, kv_pad) one.
-    if n_valid < kv_pad:
-        coli = jax.lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
-        colbias = jnp.where(coli < n_valid, 0.0, _NEG_INF)
-    else:
-        colbias = None
-    # q-tile scaling is only lossless when scale is a power of two (or
-    # activations are f32); otherwise keep the f32 post-GEMM scale.
-    q_scaled = (x.dtype != jnp.bfloat16
-                or math.frexp(scale)[0] == 0.5)
-    for b in range(imgs):
-        for g in range(0, n_heads, n_sc):
-            heads = range(g, min(g + n_sc, n_heads))
-            for h in heads:
-                q = qkv_ref[b, :n_pad, h * dh:(h + 1) * dh]
-                if q_scaled:
-                    q = q * x.dtype.type(scale)
-                k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
-                scores_ref[h - g] = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            for h in heads:
-                s = scores_ref[h - g]
-                if not q_scaled:
-                    s = s * scale
-                if safe_softmax:
-                    # exact max-subtract softmax: selected for checkpoints
-                    # whose attention logits can leave the max-free clip
-                    # window (utils/calibrate.py) and for training, where
-                    # logits evolve — keeps forward and the exact-softmax
-                    # backward describing the SAME function everywhere.
-                    if colbias is not None:
-                        s = s + colbias
-                    s = s - jnp.max(s, axis=-1, keepdims=True)
-                    e = jnp.exp(s)
-                else:
-                    # Max-free softmax: exp(clip(s)) drops the per-row max
-                    # reduce + subtract (+0.33 ms / 12 layers measured,
-                    # experiments/perf_attn_softmax3.py).  softmax is
-                    # shift-invariant, so skipping the shift is exact as
-                    # long as exp neither overflows (s <= 80; f32
-                    # overflows at 88) nor fully underflows (some valid
-                    # s >= -70).  Trained ViT logits live in ~[-40, 40];
-                    # the clip makes the out-of-range failure mode
-                    # graceful (saturated weights) instead of inf/NaN —
-                    # and utils/calibrate.py verifies the window per
-                    # checkpoint, routing hot-logit models to
-                    # safe_softmax.  Keys below the clip floor carry
-                    # e^-70 ~ 4e-31 weight — zero at f32 for any normal
-                    # row.
-                    s = jnp.clip(s, _EXP_LO, _EXP_HI)
-                    if colbias is not None:
-                        s = s + colbias
-                    e = jnp.exp(s)
-                denom = jnp.sum(e, axis=-1, keepdims=True)
-                v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-                pv = jnp.dot(
-                    e.astype(x.dtype), v,
-                    preferred_element_type=jnp.float32)
-                pv = (pv * jax.lax.reciprocal(denom)).astype(x.dtype)
-                if ao_ref is not None:
-                    ao_ref[b * n_pad:(b + 1) * n_pad,
-                           h * dh:(h + 1) * dh] = pv
-                else:
-                    qkv_ref[b, :n_pad, h * dh:(h + 1) * dh] = pv
+    # safe_softmax selects the exact max-subtract softmax (checkpoints
+    # outside the max-free clip window per utils/calibrate.py, and
+    # training); the default max-free path drops the per-row max reduce
+    # (exp(clip(s)) — exact while scores stay in [-70, 80], measured
+    # +0.33 ms / 12 layers, experiments/perf_attn_softmax3.py).
+    # ``pairs`` head-pair-packs the score GEMMs (see _mha_loop).
+    _mha_loop(x, qkv_ref, scores_ref, ao_ref, imgs=imgs, n_pad=n_pad,
+              kv_pad=kv_pad, n_heads=n_heads, dh=dh, n_sc=n_sc,
+              scale=scale, n_valid=n_valid, safe_softmax=safe_softmax,
+              pairs=pairs)
 
     # Output projection + residual (all rows in one GEMM)
     if ao_ref is not None:
@@ -321,7 +402,8 @@ def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                           n_valid=min(n_valid, n), n_pad=n_pad,
                           kv_pad=kv_pad, n_heads=num_heads, dh=dh,
                           n_sc=n_sc, imgs=imgs, residual=residual,
-                          safe_softmax=safe_softmax),
+                          safe_softmax=safe_softmax,
+                          pairs=pair_pack_ok(dh, num_heads, plan.n_sc)),
         grid=(b // imgs,),
         in_specs=[
             pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
@@ -335,7 +417,9 @@ def attn_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
         out_shape=jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((imgs, kv_pad, 3 * da), x.dtype),
-            pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32),
+            (pltpu.VMEM((n_sc // 2, n_pad, 2 * kv_pad), jnp.float32)
+             if pair_pack_ok(dh, num_heads, n_sc)
+             else pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32)),
         ] + ([] if plan.reuse_q
              else [pltpu.VMEM((imgs * n_pad, da), x.dtype)]),
         cost_estimate=pl.CostEstimate(
@@ -375,7 +459,7 @@ def _attn_stats_kernel(x_ref, st_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
                        wo_ref, bo_ref, o_ref, *rest, eps: float,
                        scale: float, n_valid: int, n_pad: int,
                        kv_pad: int, n_heads: int, dh: int, n_sc: int,
-                       imgs: int, emit_stats: bool):
+                       imgs: int, emit_stats: bool, pairs: bool = False):
     if emit_stats:
         sto_ref, qkv_ref, scores_ref, ao_ref = rest
     else:
@@ -397,40 +481,10 @@ def _attn_stats_kernel(x_ref, st_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
                                            x.dtype)
         else:
             qkv_ref[b] = qkv_b
-    if n_valid < kv_pad:
-        coli = jax.lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
-        colbias = jnp.where(coli < n_valid, 0.0, _NEG_INF)
-    else:
-        colbias = None
-    q_scaled = (x.dtype != jnp.bfloat16
-                or math.frexp(scale)[0] == 0.5)
-    for b in range(imgs):
-        for g in range(0, n_heads, n_sc):
-            heads = range(g, min(g + n_sc, n_heads))
-            for h in heads:
-                q = qkv_ref[b, :n_pad, h * dh:(h + 1) * dh]
-                if q_scaled:
-                    q = q * x.dtype.type(scale)
-                k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
-                scores_ref[h - g] = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            for h in heads:
-                s = scores_ref[h - g]
-                if not q_scaled:
-                    s = s * scale
-                s = jnp.clip(s, _EXP_LO, _EXP_HI)
-                if colbias is not None:
-                    s = s + colbias
-                e = jnp.exp(s)
-                denom = jnp.sum(e, axis=-1, keepdims=True)
-                v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-                pv = jnp.dot(
-                    e.astype(x.dtype), v,
-                    preferred_element_type=jnp.float32)
-                ao_ref[b * n_pad:(b + 1) * n_pad,
-                       h * dh:(h + 1) * dh] = (
-                    pv * jax.lax.reciprocal(denom)).astype(x.dtype)
+    _mha_loop(x, qkv_ref, scores_ref, ao_ref, imgs=imgs, n_pad=n_pad,
+              kv_pad=kv_pad, n_heads=n_heads, dh=dh, n_sc=n_sc,
+              scale=scale, n_valid=n_valid, safe_softmax=False,
+              pairs=pairs)
     y = jnp.dot(ao_ref[:], wo_ref[:],
                 preferred_element_type=jnp.float32) + bo_ref[0]
     out = x + y.astype(x.dtype)
@@ -486,7 +540,8 @@ def attn_block_stats_pallas(x, stats, ln_scale, ln_bias, wqkv, bqkv, wo,
                           scale=1.0 / (dh ** 0.5),
                           n_valid=min(n_valid, n), n_pad=n_pad,
                           kv_pad=kv_pad, n_heads=num_heads, dh=dh,
-                          n_sc=n_sc, imgs=imgs, emit_stats=emit_stats),
+                          n_sc=n_sc, imgs=imgs, emit_stats=emit_stats,
+                          pairs=pair_pack_ok(dh, num_heads, n_sc)),
         grid=(b // imgs,),
         in_specs=[xtile, stile, const((1, d)), const((1, d)),
                   const((d, 3 * d)), const((1, 3 * d)),
@@ -495,7 +550,9 @@ def attn_block_stats_pallas(x, stats, ln_scale, ln_bias, wqkv, bqkv, wo,
         out_shape=out_shape if emit_stats else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((imgs, kv_pad, 3 * d), x.dtype),
-            pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32),
+            (pltpu.VMEM((n_sc // 2, n_pad, 2 * kv_pad), jnp.float32)
+             if pair_pack_ok(dh, num_heads, n_sc)
+             else pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32)),
             pltpu.VMEM((imgs * n_pad, d), x.dtype),
         ],
         cost_estimate=pl.CostEstimate(

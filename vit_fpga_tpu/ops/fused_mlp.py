@@ -31,7 +31,17 @@ def _act(h, kind: str):
         # difference is far below representable precision).
         return jax.nn.gelu(h, approximate=False)
     if kind == "gelu_tanh":
-        return jax.nn.gelu(h, approximate=True)
+        # tanh-GELU, fma-reassociated: u = h*(A + B*h^2) instead of
+        # sqrt(2/pi)*(h + 0.044715*h^3); 0.5h + 0.5h*t instead of
+        # 0.5*h*(1+t).  Same function as jax.nn.gelu(approximate=True)
+        # (reassociation only — <1e-7 relative drift in f32, below a
+        # bf16 ulp), a few fewer VPU passes than jax.nn.gelu's emission
+        # (experiments/perf_gelu_variants.py, perf_mlp_gelu.py: ~-0.04
+        # ms / 12 ViT-B layers, 4/4 rounds).
+        h2 = h * h
+        u = h * (0.7978845608028654 + 0.035677408136300125 * h2)
+        hh = 0.5 * h
+        return hh + hh * jnp.tanh(u)
     if kind == "quick_gelu":
         return h * jax.nn.sigmoid(1.702 * h)
     if kind == "relu":

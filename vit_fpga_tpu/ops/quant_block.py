@@ -66,7 +66,11 @@ def _ln_f32(x, s_ref, b_ref, eps):
 
 def _apply_act(h, act: str):
     if act == "gelu_tanh":
-        return jax.nn.gelu(h, approximate=True)
+        # fma-reassociated tanh-GELU (see ops/fused_mlp._act)
+        h2 = h * h
+        u = h * (0.7978845608028654 + 0.035677408136300125 * h2)
+        hh = 0.5 * h
+        return hh + hh * jnp.tanh(u)
     if act == "quick_gelu":
         return h * jax.nn.sigmoid(1.702 * h)
     if act == "relu":

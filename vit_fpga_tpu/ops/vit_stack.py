@@ -103,7 +103,11 @@ def _layer_math(x, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
            + l2b[0]).astype(x.dtype)
     h = jnp.dot(xn2, w1[0], preferred_element_type=jnp.float32) + b1[0]
     if act == "gelu_tanh":
-        h = jax.nn.gelu(h, approximate=True)
+        # fma-reassociated tanh-GELU (see ops/fused_mlp._act)
+        h2 = h * h
+        u = h * (0.7978845608028654 + 0.035677408136300125 * h2)
+        hh = 0.5 * h
+        h = hh + hh * jnp.tanh(u)
     elif act == "quick_gelu":
         h = h * jax.nn.sigmoid(1.702 * h)
     else:
@@ -314,7 +318,11 @@ def _layer_math_int8(x, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
                                preferred_element_type=jnp.int32)
     h = acc1.astype(jnp.float32) * (sh * s1[0]) + b1[0]
     if act == "gelu_tanh":
-        h = jax.nn.gelu(h, approximate=True)
+        # fma-reassociated tanh-GELU (see ops/fused_mlp._act)
+        h2 = h * h
+        u = h * (0.7978845608028654 + 0.035677408136300125 * h2)
+        hh = 0.5 * h
+        h = hh + hh * jnp.tanh(u)
     elif act == "quick_gelu":
         h = h * jax.nn.sigmoid(1.702 * h)
     else:
