@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .attn_block import _mha_loop, pair_pack_ok
 from .common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
 from .quant_fused import QMAX
 
@@ -175,7 +176,7 @@ def _attn_int8_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                       wo_ref, so_ref, bo_ref, o_ref, qkv_ref, scores_ref,
                       *maybe_ao, eps: float, scale: float, n_valid: int,
                       n_pad: int, kv_pad: int, n_heads: int, dh: int,
-                      n_sc: int, imgs: int):
+                      n_sc: int, imgs: int, pairs: bool = False):
     ao_ref = maybe_ao[0] if maybe_ao else None
     d = n_heads * dh
     x = x_ref[:].reshape(imgs * n_pad, d)
@@ -199,42 +200,13 @@ def _attn_int8_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
             qkv_ref[b] = qkv_b
 
     # Softmax diet + max-free softmax, same design as attn_block.py
-    if n_valid < kv_pad:
-        coli = jax.lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
-        colbias = jnp.where(coli < n_valid, 0.0, _NEG_INF)
-    else:
-        colbias = None
-    q_scaled = (x.dtype != jnp.bfloat16 or math.frexp(scale)[0] == 0.5)
-    for b in range(imgs):
-        for g in range(0, n_heads, n_sc):
-            heads = range(g, min(g + n_sc, n_heads))
-            for h in heads:
-                q = qkv_ref[b, :n_pad, h * dh:(h + 1) * dh]
-                if q_scaled:
-                    q = q * x.dtype.type(scale)
-                k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
-                scores_ref[h - g] = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            for h in heads:
-                s = scores_ref[h - g]
-                if not q_scaled:
-                    s = s * scale
-                s = jnp.clip(s, _EXP_LO, _EXP_HI)
-                if colbias is not None:
-                    s = s + colbias
-                e = jnp.exp(s)
-                denom = jnp.sum(e, axis=-1, keepdims=True)
-                v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-                pv = jnp.dot(
-                    e.astype(x.dtype), v,
-                    preferred_element_type=jnp.float32)
-                pv = (pv * jax.lax.reciprocal(denom)).astype(x.dtype)
-                if ao_ref is not None:
-                    ao_ref[b * n_pad:(b + 1) * n_pad,
-                           h * dh:(h + 1) * dh] = pv
-                else:
-                    qkv_ref[b, :n_pad, h * dh:(h + 1) * dh] = pv
+    # bf16 score GEMMs head-pair-packed when eligible — shared with the
+    # bf16 kernel (ops/attn_block._mha_loop; the int8 halves keep bf16
+    # scores/PV per the measured int8-scores negative result)
+    _mha_loop(x, qkv_ref, scores_ref, ao_ref, imgs=imgs, n_pad=n_pad,
+              kv_pad=kv_pad, n_heads=n_heads, dh=dh, n_sc=n_sc,
+              scale=scale, n_valid=n_valid, safe_softmax=False,
+              pairs=pairs)
 
     if ao_ref is not None:
         src = ao_ref[:]
@@ -275,7 +247,8 @@ def attn_block_int8(x, ln_scale, ln_bias, wqkvq, wqkvs, bqkv, woq, wos, bo,
         functools.partial(_attn_int8_kernel, eps=eps,
                           scale=1.0 / (dh ** 0.5), n_valid=min(n_valid, n),
                           n_pad=n_pad, kv_pad=kv_pad, n_heads=num_heads,
-                          dh=dh, n_sc=n_sc, imgs=imgs),
+                          dh=dh, n_sc=n_sc, imgs=imgs,
+                          pairs=pair_pack_ok(dh, num_heads, n_sc)),
         grid=(b // imgs,),
         in_specs=[
             pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
@@ -289,7 +262,9 @@ def attn_block_int8(x, ln_scale, ln_bias, wqkvq, wqkvs, bqkv, woq, wos, bo,
         out_shape=jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((imgs, kv_pad, 3 * d), x.dtype),
-            pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32),
+            (pltpu.VMEM((n_sc // 2, n_pad, 2 * kv_pad), jnp.float32)
+             if pair_pack_ok(dh, num_heads, n_sc)
+             else pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32)),
         ] + ([] if reuse_q
              else [pltpu.VMEM((imgs * n_pad, d), x.dtype)]),
         cost_estimate=pl.CostEstimate(
@@ -431,7 +406,7 @@ def _attn_int8_stats_kernel(x_ref, st_ref, ls_ref, lb_ref, wqkv_ref,
                             o_ref, *rest, eps: float, scale: float,
                             n_valid: int, n_pad: int, kv_pad: int,
                             n_heads: int, dh: int, n_sc: int, imgs: int,
-                            emit_stats: bool):
+                            emit_stats: bool, pairs: bool = False):
     from .attn_block import STATS_LANES
     if emit_stats:
         sto_ref, qkv_ref, scores_ref, ao_ref = rest
@@ -458,38 +433,10 @@ def _attn_int8_stats_kernel(x_ref, st_ref, ls_ref, lb_ref, wqkv_ref,
                                            x.dtype)
         else:
             qkv_ref[b] = qkv_b
-    if n_valid < kv_pad:
-        coli = jax.lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
-        colbias = jnp.where(coli < n_valid, 0.0, _NEG_INF)
-    else:
-        colbias = None
-    q_scaled = (x.dtype != jnp.bfloat16 or math.frexp(scale)[0] == 0.5)
-    for b in range(imgs):
-        for g in range(0, n_heads, n_sc):
-            heads = range(g, min(g + n_sc, n_heads))
-            for h in heads:
-                q = qkv_ref[b, :n_pad, h * dh:(h + 1) * dh]
-                if q_scaled:
-                    q = q * x.dtype.type(scale)
-                k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
-                scores_ref[h - g] = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            for h in heads:
-                s = scores_ref[h - g]
-                if not q_scaled:
-                    s = s * scale
-                s = jnp.clip(s, _EXP_LO, _EXP_HI)
-                if colbias is not None:
-                    s = s + colbias
-                e = jnp.exp(s)
-                denom = jnp.sum(e, axis=-1, keepdims=True)
-                v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-                pv = jnp.dot(e.astype(x.dtype), v,
-                             preferred_element_type=jnp.float32)
-                ao_ref[b * n_pad:(b + 1) * n_pad,
-                       h * dh:(h + 1) * dh] = (
-                    pv * jax.lax.reciprocal(denom)).astype(x.dtype)
+    _mha_loop(x, qkv_ref, scores_ref, ao_ref, imgs=imgs, n_pad=n_pad,
+              kv_pad=kv_pad, n_heads=n_heads, dh=dh, n_sc=n_sc,
+              scale=scale, n_valid=n_valid, safe_softmax=False,
+              pairs=pairs)
     aoq, sa = _row_quant(ao_ref[:].astype(jnp.float32))
     acc_o = jax.lax.dot_general(aoq, wo_ref[:], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
@@ -547,7 +494,8 @@ def attn_block_int8_stats(x, stats, ln_scale, ln_bias, wqkvq, wqkvs, bqkv,
                           scale=1.0 / (dh ** 0.5),
                           n_valid=min(n_valid, n), n_pad=n_pad,
                           kv_pad=kv_pad, n_heads=num_heads, dh=dh,
-                          n_sc=n_sc, imgs=imgs, emit_stats=emit_stats),
+                          n_sc=n_sc, imgs=imgs, emit_stats=emit_stats,
+                          pairs=pair_pack_ok(dh, num_heads, n_sc)),
         grid=(b // imgs,),
         in_specs=[xtile, stile, const((1, d)), const((1, d)),
                   const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
@@ -556,7 +504,9 @@ def attn_block_int8_stats(x, stats, ln_scale, ln_bias, wqkvq, wqkvs, bqkv,
         out_shape=out_shape if emit_stats else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((imgs, kv_pad, 3 * d), x.dtype),
-            pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32),
+            (pltpu.VMEM((n_sc // 2, n_pad, 2 * kv_pad), jnp.float32)
+             if pair_pack_ok(dh, num_heads, n_sc)
+             else pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32)),
             pltpu.VMEM((imgs * n_pad, d), x.dtype),
         ],
         cost_estimate=pl.CostEstimate(
