@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .attn_block import _mha_loop, pair_pack_ok
 from .common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
 
 _NEG_INF = -1e30
@@ -34,7 +35,8 @@ _EXP_LO, _EXP_HI = -70.0, 80.0   # max-free softmax window (attn_block.py)
 def _layer_math(x, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
                 w2, b2, qkv_s, sc, ao, *, eps: float, scale: float,
                 n_valid: int, n_pad: int, kv_pad: int, n_heads: int,
-                dh: int, batch: int, act: str, n_sc: int):
+                dh: int, batch: int, act: str, n_sc: int,
+                pairs: bool = False):
     """One bf16/f32 transformer layer on (batch*n_pad, D) rows; weight
     args are the per-layer refs (block shape (1, ...)).  Shared by the
     layers-only and the full (embed+head) single-launch kernels."""
@@ -59,38 +61,9 @@ def _layer_math(x, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
     # Softmax diet + max-free softmax, same design as attn_block.py
     # (colbias mask in one fused pass, pow2 scale on the q tile,
     # exp(clip(s)) with no per-row max reduce, divide after PV).
-    if n_valid < kv_pad:
-        coli = jax.lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
-        colbias = jnp.where(coli < n_valid, 0.0, _NEG_INF)
-    else:
-        colbias = None
-    q_scaled = (x.dtype != jnp.bfloat16 or math.frexp(scale)[0] == 0.5)
-    for b in range(batch):
-        for g in range(0, n_heads, n_sc):
-            heads = range(g, min(g + n_sc, n_heads))
-            for h in heads:
-                q = qkv_s[b, :n_pad, h * dh:(h + 1) * dh]
-                if q_scaled:
-                    q = q * x.dtype.type(scale)
-                k = qkv_s[b, :, d + h * dh:d + (h + 1) * dh]
-                sc[h - g] = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            for h in heads:
-                s = sc[h - g]
-                if not q_scaled:
-                    s = s * scale
-                s = jnp.clip(s, _EXP_LO, _EXP_HI)
-                if colbias is not None:
-                    s = s + colbias
-                e = jnp.exp(s)
-                denom = jnp.sum(e, axis=-1, keepdims=True)
-                v = qkv_s[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-                pv = jnp.dot(e.astype(x.dtype), v,
-                             preferred_element_type=jnp.float32)
-                ao[b * n_pad:(b + 1) * n_pad,
-                   h * dh:(h + 1) * dh] = (
-                    pv * jax.lax.reciprocal(denom)).astype(x.dtype)
+    _mha_loop(x, qkv_s, sc, ao, imgs=batch, n_pad=n_pad, kv_pad=kv_pad,
+              n_heads=n_heads, dh=dh, n_sc=n_sc, scale=scale,
+              n_valid=n_valid, safe_softmax=False, pairs=pairs)
     y = jnp.dot(ao[:], wo[0], preferred_element_type=jnp.float32) + bo[0]
     xa = x + y.astype(x.dtype)
 
@@ -121,7 +94,7 @@ def _stack_kernel(x_ref, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
                   w2, b2, o_ref, tok, qkv_s, sc, ao, *, eps: float,
                   scale: float, n_valid: int, n_pad: int, kv_pad: int,
                   n_heads: int, dh: int, batch: int, depth: int,
-                  act: str, n_sc: int):
+                  act: str, n_sc: int, pairs: bool = False):
     i = pl.program_id(0)
     d = n_heads * dh
 
@@ -133,7 +106,7 @@ def _stack_kernel(x_ref, l1s, l1b, wqkv, bqkv, wo, bo, l2s, l2b, w1, b1,
                       w1, b1, w2, b2, qkv_s, sc, ao, eps=eps, scale=scale,
                       n_valid=n_valid, n_pad=n_pad, kv_pad=kv_pad,
                       n_heads=n_heads, dh=dh, batch=batch, act=act,
-                      n_sc=n_sc)
+                      n_sc=n_sc, pairs=pairs)
     tok[:] = out
 
     @pl.when(i == depth - 1)
@@ -209,7 +182,8 @@ def vit_layers_pallas(x, blocks, num_heads: int, eps: float = 1e-6,
         functools.partial(_stack_kernel, eps=eps, scale=1.0 / (dh ** 0.5),
                           n_valid=min(n_valid, n), n_pad=n_pad,
                           kv_pad=kv_pad, n_heads=num_heads, dh=dh,
-                          batch=b, depth=depth, act=act, n_sc=n_sc),
+                          batch=b, depth=depth, act=act, n_sc=n_sc,
+                          pairs=pair_pack_ok(dh, num_heads, n_sc)),
         grid=(depth,),
         in_specs=[const((b, n_pad, d)),
                   per_layer(1, d), per_layer(1, d),
@@ -223,7 +197,9 @@ def vit_layers_pallas(x, blocks, num_heads: int, eps: float = 1e-6,
         scratch_shapes=[
             pltpu.VMEM((b * n_pad, d), dt),
             pltpu.VMEM((b, kv_pad, 3 * d), dt),
-            pltpu.VMEM((n_sc, n_pad, kv_pad), f32),
+            (pltpu.VMEM((n_sc // 2, n_pad, 2 * kv_pad), f32)
+             if pair_pack_ok(dh, num_heads, n_sc)
+             else pltpu.VMEM((n_sc, n_pad, kv_pad), f32)),
             pltpu.VMEM((b * n_pad, d), dt),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -252,7 +228,7 @@ def _layer_math_int8(x, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
                      l2s, l2b, w1, s1, b1, w2, s2, b2, qkv_s, sc, ao, *,
                      eps: float, scale: float, n_valid: int, n_pad: int,
                      kv_pad: int, n_heads: int, dh: int, batch: int,
-                     act: str):
+                     act: str, pairs: bool = False):
     """One int8-weight transformer layer on (batch*n_pad, D) rows (int8
     GEMMs with in-kernel row quantization, bf16 scores/PV)."""
     from .quant_block import _row_quant
@@ -273,35 +249,9 @@ def _layer_math_int8(x, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
             qkv_s[b, n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d), x.dtype)
         else:
             qkv_s[b] = qkv[b * n_pad:(b + 1) * n_pad]
-    if n_valid < kv_pad:
-        coli = jax.lax.broadcasted_iota(jnp.int32, (1, kv_pad), 1)
-        colbias = jnp.where(coli < n_valid, 0.0, _NEG_INF)
-    else:
-        colbias = None
-    q_scaled = (x.dtype != jnp.bfloat16 or math.frexp(scale)[0] == 0.5)
-    for b in range(batch):
-        for h in range(n_heads):
-            q = qkv_s[b, :n_pad, h * dh:(h + 1) * dh]
-            if q_scaled:
-                q = q * x.dtype.type(scale)
-            k = qkv_s[b, :, d + h * dh:d + (h + 1) * dh]
-            sc[h] = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        for h in range(n_heads):
-            s = sc[h]
-            if not q_scaled:
-                s = s * scale
-            s = jnp.clip(s, _EXP_LO, _EXP_HI)
-            if colbias is not None:
-                s = s + colbias
-            e = jnp.exp(s)
-            denom = jnp.sum(e, axis=-1, keepdims=True)
-            v = qkv_s[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-            pv = jnp.dot(e.astype(x.dtype), v,
-                         preferred_element_type=jnp.float32)
-            ao[b * n_pad:(b + 1) * n_pad, h * dh:(h + 1) * dh] = (
-                pv * jax.lax.reciprocal(denom)).astype(x.dtype)
+    _mha_loop(x, qkv_s, sc, ao, imgs=batch, n_pad=n_pad, kv_pad=kv_pad,
+              n_heads=n_heads, dh=dh, n_sc=n_heads, scale=scale,
+              n_valid=n_valid, safe_softmax=False, pairs=pairs)
     aoq, sa = _row_quant(ao[:].astype(jnp.float32))
     acc_o = jax.lax.dot_general(aoq, wo[0], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
@@ -339,7 +289,7 @@ def _stack_int8_kernel(x_ref, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
                        qkv_s, sc, ao, *, eps: float, scale: float,
                        n_valid: int, n_pad: int, kv_pad: int,
                        n_heads: int, dh: int, batch: int, depth: int,
-                       act: str):
+                       act: str, pairs: bool = False):
     i = pl.program_id(0)
     d = n_heads * dh
 
@@ -351,7 +301,7 @@ def _stack_int8_kernel(x_ref, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
                            bo, l2s, l2b, w1, s1, b1, w2, s2, b2, qkv_s,
                            sc, ao, eps=eps, scale=scale, n_valid=n_valid,
                            n_pad=n_pad, kv_pad=kv_pad, n_heads=n_heads,
-                           dh=dh, batch=batch, act=act)
+                           dh=dh, batch=batch, act=act, pairs=pairs)
     tok[:] = out
 
     @pl.when(i == depth - 1)
@@ -397,7 +347,10 @@ def vit_layers_int8_pallas(x, qblocks, num_heads: int, eps: float = 1e-6,
                           scale=1.0 / (dh ** 0.5),
                           n_valid=min(n_valid, n), n_pad=n_pad,
                           kv_pad=kv_pad, n_heads=num_heads, dh=dh,
-                          batch=b, depth=depth, act=act),
+                          # batch-1 int8 is VPU-bound: the pair panels'
+                          # select/concat passes are exposed (p50 181.6
+                          # -> 190.0 us measured) — pairs stay off here
+                          batch=b, depth=depth, act=act, pairs=False),
         grid=(depth,),
         in_specs=[const((b, n_pad, d)),
                   per_layer(1, d), per_layer(1, d),
@@ -447,7 +400,7 @@ def _stack_full_kernel(pp_ref, wp, posb, l1s, l1b, wqkv, bqkv, wo, bo,
                        o_ref, tok, qkv_s, sc, ao, *, eps: float,
                        scale: float, n_valid: int, n_pad: int,
                        kv_pad: int, n_heads: int, dh: int, batch: int,
-                       depth: int, act: str, n_sc: int, npre: int):
+                       depth: int, act: str, n_sc: int, npre: int, pairs: bool = False):
     i = pl.program_id(0)
     d = n_heads * dh
 
@@ -463,7 +416,7 @@ def _stack_full_kernel(pp_ref, wp, posb, l1s, l1b, wqkv, bqkv, wo, bo,
                       w1, b1, w2, b2, qkv_s, sc, ao, eps=eps, scale=scale,
                       n_valid=n_valid, n_pad=n_pad, kv_pad=kv_pad,
                       n_heads=n_heads, dh=dh, batch=batch, act=act,
-                      n_sc=n_sc)
+                      n_sc=n_sc, pairs=pairs)
     tok[:] = out
 
     @pl.when(i == depth - 1)
@@ -486,7 +439,8 @@ def _stack_full_int8_kernel(pp_ref, wpq, wps, posb, l1s, l1b, wqkv, sqkv,
                             qkv_s, sc, ao, *, eps: float, scale: float,
                             n_valid: int, n_pad: int, kv_pad: int,
                             n_heads: int, dh: int, batch: int,
-                            depth: int, act: str, npre: int):
+                            depth: int, act: str, npre: int,
+                            pairs: bool = False):
     from .quant_block import _row_quant
     i = pl.program_id(0)
     d = n_heads * dh
@@ -506,7 +460,7 @@ def _stack_full_int8_kernel(pp_ref, wpq, wps, posb, l1s, l1b, wqkv, sqkv,
                            bo, l2s, l2b, w1, s1, b1, w2, s2, b2, qkv_s,
                            sc, ao, eps=eps, scale=scale, n_valid=n_valid,
                            n_pad=n_pad, kv_pad=kv_pad, n_heads=n_heads,
-                           dh=dh, batch=batch, act=act)
+                           dh=dh, batch=batch, act=act, pairs=pairs)
     tok[:] = out
 
     @pl.when(i == depth - 1)
@@ -589,7 +543,8 @@ def vit_full_pallas(patches_padded, wp, posb, blocks, lf_scale, lf_bias,
                           n_valid=min(n_tokens, kv_pad), n_pad=n_pad,
                           kv_pad=kv_pad, n_heads=num_heads, dh=dh,
                           batch=b, depth=depth, act=act, n_sc=n_sc,
-                          npre=npre),
+                          npre=npre,
+                          pairs=pair_pack_ok(dh, num_heads, n_sc)),
         grid=(depth,),
         in_specs=[const((b, n_pad, p3)), const((p3, d)),
                   const((n_pad, d)),
@@ -606,7 +561,9 @@ def vit_full_pallas(patches_padded, wp, posb, blocks, lf_scale, lf_bias,
         scratch_shapes=[
             pltpu.VMEM((b * n_pad, d), dt),
             pltpu.VMEM((b, kv_pad, 3 * d), dt),
-            pltpu.VMEM((n_sc, n_pad, kv_pad), f32),
+            (pltpu.VMEM((n_sc // 2, n_pad, 2 * kv_pad), f32)
+             if pair_pack_ok(dh, num_heads, n_sc)
+             else pltpu.VMEM((n_sc, n_pad, kv_pad), f32)),
             pltpu.VMEM((b * n_pad, d), dt),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -667,7 +624,8 @@ def vit_full_int8_pallas(patches_padded, wpq, wps, posb, qblocks,
                           scale=1.0 / (dh ** 0.5),
                           n_valid=min(n_tokens, kv_pad), n_pad=n_pad,
                           kv_pad=kv_pad, n_heads=num_heads, dh=dh,
-                          batch=b, depth=depth, act=act, npre=npre),
+                          batch=b, depth=depth, act=act, npre=npre,
+                          pairs=False),  # see vit_layers_int8_pallas
         grid=(depth,),
         in_specs=[const((b, n_pad, p3)), const((p3, d)),
                   const((1, d)), const((n_pad, d)),
