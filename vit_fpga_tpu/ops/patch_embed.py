@@ -125,10 +125,15 @@ def embed_tokens_dotg(images: jax.Array, kernel: jax.Array,
     k3 = kernel.reshape(patch, patch * 3, d)
     y = jax.lax.dot_general(x5, k3, (((2, 4), (0, 1)), ((), ())),
                             preferred_element_type=jnp.float32)
-    flat = y.reshape(b, npch, d)
     posb = posb.astype(jnp.float32)
     lo = 0 if prefix_last else n_prefix      # posb row where patches start
-    body = (flat + posb[None, lo:lo + npch]).astype(dt)
+    # posb add RANK-MATCHED to the dot output, before the reshape: XLA
+    # fuses it into the GEMM epilogue.  Reshape-then-add materializes
+    # the 61 MB f32 dot result to HBM and reads it back (~140 us at
+    # ViT-B b64 — measured, experiments/perf_embed_r3.py D vs D2);
+    # identical f32 math, bit-exact output.
+    pb4 = posb[lo:lo + npch].reshape(1, gh, gw, d)
+    body = (y + pb4).astype(dt).reshape(b, npch, d)
 
     def bcast(rows):                          # constant rows, broadcast on B
         return jnp.broadcast_to(rows.astype(dt)[None],
