@@ -90,8 +90,8 @@ def forward(params: Params, images: jax.Array,
         # padded residency (see vit._forward_features): pad the token
         # axis once, run every block with n_valid, never pad per layer
         n = cfg.seq_len
-        from ..ops.common import round_up
-        n_pad = round_up(n, 16 if dt == jnp.bfloat16 else 8)
+        from ..ops.common import pad_sublane, round_up
+        n_pad = round_up(n, pad_sublane(dt))
         if n_pad != n:
             x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
 
@@ -388,11 +388,12 @@ def make_clip_train_step(vision_cfg: vit_mod.ViTConfig,
 
 
 def latency_forward_supported(cfg: vit_mod.ViTConfig, batch: int) -> bool:
-    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    from ..ops.common import LANE, pad_sublane, round_up
     from ..ops.vit_stack import stack_fits
+    import jax.numpy as jnp
     return (cfg.dtype == "bfloat16" and batch <= 4
             and stack_fits(cfg.num_heads, cfg.hidden_dim, cfg.mlp_dim,
-                           round_up(cfg.seq_len, SUBLANE_BF16),
+                           round_up(cfg.seq_len, pad_sublane(jnp.bfloat16)),
                            round_up(cfg.seq_len, LANE), batch))
 
 

@@ -225,9 +225,9 @@ def _fused_lin(x3d, wq, ws, b, act="none", ln=None, eps=0.0):
 
 def _int8_block_fits(cfg: vit_mod.ViTConfig) -> bool:
     """Both int8 mega-kernels fit VMEM at this geometry?"""
-    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    from ..ops.common import LANE, pad_sublane, round_up
     from ..ops.quant_block import score_slots_int8
-    n_pad = round_up(cfg.seq_len, SUBLANE_BF16)
+    n_pad = round_up(cfg.seq_len, pad_sublane(jnp.bfloat16))
     kv_pad = round_up(cfg.seq_len, LANE)
     _, n_sc, _, _ = score_slots_int8(cfg.num_heads, cfg.hidden_dim,
                                      n_pad, kv_pad)
@@ -253,12 +253,12 @@ def _int8_stats_chain_supported(cfg: vit_mod.ViTConfig,
     time of bf16, so the epilogue is exposed, and the (rows, 128) f32
     stats tile adds HBM traffic both ways.  The kernels stay available
     (tested in interpret mode) as the measured record."""
-    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    from ..ops.common import LANE, pad_sublane, round_up
     from ..ops.quant_block import score_slots_int8
     if (not _INT8_STATS_CHAIN or jax.default_backend() != "tpu"
             or not _int8_block_fits(cfg)):
         return False
-    n_pad = round_up(cfg.seq_len, SUBLANE_BF16)
+    n_pad = round_up(cfg.seq_len, pad_sublane(jnp.bfloat16))
     kv_pad = round_up(cfg.seq_len, LANE)
     _, n_sc, reuse_q, _ = score_slots_int8(cfg.num_heads, cfg.hidden_dim,
                                            n_pad, kv_pad, batch=batch)
@@ -342,12 +342,12 @@ def vit_forward_int8_fast(qparams: Params, images: jax.Array,
     embed GEMM is <1% of model FLOPs, the patchify transpose it
     replaces costs more than int8 saves there, and bf16 drops the
     activation row-quant error (the per-layer blocks stay int8)."""
-    from ..ops.common import SUBLANE_BF16, round_up
+    from ..ops.common import pad_sublane, round_up
     from ..ops.patch_embed import embed_tokens_dotg
     dt = jnp.bfloat16
     n, d = cfg.seq_len, cfg.hidden_dim
     npre = cfg.num_prefix_tokens
-    n_pad = round_up(n, SUBLANE_BF16)
+    n_pad = round_up(n, pad_sublane(jnp.bfloat16))
     pe = qparams["patch_embed"]
     pos = qparams["pos_embed"][0].astype(jnp.float32)
     pre = qparams["cls_token"][0].astype(jnp.float32)
@@ -388,11 +388,11 @@ def vit_forward_int8_fast(qparams: Params, images: jax.Array,
 
 
 def int8_latency_supported(cfg: vit_mod.ViTConfig, batch: int) -> bool:
-    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    from ..ops.common import LANE, pad_sublane, round_up
     from ..ops.vit_stack import stack_fits
     return (cfg.pool == "cls" and batch <= 4
             and stack_fits(cfg.num_heads, cfg.hidden_dim, cfg.mlp_dim,
-                           round_up(cfg.seq_len, SUBLANE_BF16),
+                           round_up(cfg.seq_len, pad_sublane(jnp.bfloat16)),
                            round_up(cfg.seq_len, LANE), batch,
                            itemsize=1))
 
@@ -405,10 +405,10 @@ def prep_int8_latency(qparams: Params, cfg: vit_mod.ViTConfig) -> Params:
     model FLOPs and latency-bound, so int8 buys nothing there, while
     bf16 drops the activation row-quant error.  Call OUTSIDE the
     per-request jit."""
-    from ..ops.common import SUBLANE_BF16, round_up
+    from ..ops.common import pad_sublane, round_up
     n, d = cfg.seq_len, cfg.hidden_dim
     npre = cfg.num_prefix_tokens
-    n_pad = round_up(n, SUBLANE_BF16)
+    n_pad = round_up(n, pad_sublane(jnp.bfloat16))
     pe = qparams["patch_embed"]
     pos = qparams["pos_embed"][0].astype(jnp.float32)
     pre = qparams["cls_token"][0].astype(jnp.float32)
@@ -466,13 +466,13 @@ def vit_forward_int8_latency(qparams: Params, images: jax.Array,
 def full_int8_latency_supported(qparams: Params, cfg: vit_mod.ViTConfig,
                                 batch: int) -> bool:
     """Gate for :func:`vit_forward_int8_latency_logits`."""
-    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    from ..ops.common import LANE, pad_sublane, round_up
     from ..ops.vit_stack import stack_full_plan
     if (cfg.pool != "cls" or cfg.num_prefix_tokens != 1
             or batch > 4 or "head" not in qparams
             or cfg.num_classes < 1):
         return False
-    n_pad = round_up(cfg.seq_len, SUBLANE_BF16)
+    n_pad = round_up(cfg.seq_len, pad_sublane(jnp.bfloat16))
     kv_pad = round_up(cfg.seq_len, LANE)
     p3 = cfg.patch_size * cfg.patch_size * 3
     cls_pad = round_up(cfg.num_classes, LANE)
@@ -484,10 +484,10 @@ def prep_full_int8_latency(qparams: Params,
                            cfg: vit_mod.ViTConfig) -> Params:
     """One-time fold for :func:`vit_forward_int8_latency_logits` (posb
     table + 128-padded int8 head); call outside the per-request jit."""
-    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    from ..ops.common import LANE, pad_sublane, round_up
     n, d = cfg.seq_len, cfg.hidden_dim
     npre = cfg.num_prefix_tokens
-    n_pad = round_up(n, SUBLANE_BF16)
+    n_pad = round_up(n, pad_sublane(jnp.bfloat16))
     pe = qparams["patch_embed"]
     pos = qparams["pos_embed"][0].astype(jnp.float32)
     pre = qparams["cls_token"][0].astype(jnp.float32)
@@ -522,12 +522,12 @@ def vit_forward_int8_latency_logits(qparams: Params, images: jax.Array,
     (ops/vit_stack.vit_full_int8_pallas).  Inference-only.  ``qparams``
     may be the quantize_vit_fast tree or the
     :func:`prep_full_int8_latency` fold."""
-    from ..ops.common import SUBLANE_BF16, round_up
+    from ..ops.common import pad_sublane, round_up
     from ..ops.vit_stack import vit_full_int8_pallas
     dt = jnp.bfloat16
     n = cfg.seq_len
     npre = cfg.num_prefix_tokens
-    n_pad = round_up(n, SUBLANE_BF16)
+    n_pad = round_up(n, pad_sublane(jnp.bfloat16))
     prep = qparams if "posb" in qparams else prep_full_int8_latency(
         qparams, cfg)
     p = vit_mod.patchify(images.astype(dt), cfg.patch_size)
@@ -583,8 +583,8 @@ def clip_forward_int8_fast(qparams: Params, images: jax.Array,
                            qparams["ln_pre_bias"], cfg.ln_eps)
 
     n = cfg.seq_len
-    from ..ops.common import SUBLANE_BF16, round_up
-    n_pad = round_up(n, SUBLANE_BF16)
+    from ..ops.common import pad_sublane, round_up
+    n_pad = round_up(n, pad_sublane(jnp.bfloat16))
     if n_pad != n:
         x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
     if _int8_stats_chain_supported(cfg, x.shape[0]):

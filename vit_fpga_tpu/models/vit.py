@@ -229,10 +229,9 @@ def _attn_block_fits(cfg: ViTConfig) -> bool:
     """VMEM budget check for the fused attention-half mega-kernel (delegates
     to the kernel's own tier planner)."""
     from ..ops.attn_block import attn_plan
-    from ..ops.common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
+    from ..ops.common import LANE, pad_sublane_itemsize, round_up
     itemsize = 2 if cfg.dtype == "bfloat16" else 4
-    sub = SUBLANE_BF16 if itemsize == 2 else SUBLANE_F32
-    n_pad = round_up(cfg.seq_len, sub)
+    n_pad = round_up(cfg.seq_len, pad_sublane_itemsize(itemsize))
     kv_pad = round_up(cfg.seq_len, LANE)
     return attn_plan(cfg.num_heads, cfg.hidden_dim, n_pad, kv_pad,
                      itemsize).n_sc >= 1
@@ -437,9 +436,9 @@ def _stats_chain_supported(cfg: ViTConfig, batch: int) -> bool:
             or cfg.remat or cfg.scan_blocks
             or cfg.activation_sharding is not None):
         return False
+    from ..ops.common import pad_sublane_itemsize
     itemsize = 2 if cfg.dtype == "bfloat16" else 4
-    sub = 16 if itemsize == 2 else 8
-    n_pad = round_up(cfg.seq_len, sub)
+    n_pad = round_up(cfg.seq_len, pad_sublane_itemsize(itemsize))
     kv_pad = round_up(cfg.seq_len, LANE)
     plan = attn_plan(cfg.num_heads, cfg.hidden_dim, n_pad, kv_pad,
                      itemsize, batch=batch)
@@ -549,9 +548,8 @@ def _forward_features(params: Params, images: jax.Array,
     # runs the pad rows (5.6% extra GEMM rows at ViT-B) but that is
     # cheaper than 24 HBM pad/slice copies.
     n = cfg.seq_len
-    from ..ops.common import round_up
-    sub = 16 if dt == jnp.bfloat16 else 8
-    n_pad = round_up(n, sub)
+    from ..ops.common import pad_sublane, round_up
+    n_pad = round_up(n, pad_sublane(dt))
 
     if cfg.attn_impl in ("auto", "pallas"):
         # transpose-free dotg embed: pure XLA, no fit-gate, any backend
@@ -639,14 +637,14 @@ def forward_raw(params: Params, images_u8: jax.Array,
 
 
 def latency_forward_supported(cfg: ViTConfig, batch: int) -> bool:
-    from ..ops.common import LANE, SUBLANE_BF16, round_up
+    from ..ops.common import LANE, pad_sublane, round_up
     from ..ops.vit_stack import stack_fits
     # the single-launch stack kernel uses the max-free softmax; hot-logit
     # checkpoints (cfg.safe_softmax) take the per-layer kernels instead
     return (cfg.dtype == "bfloat16" and cfg.pool == "cls" and batch <= 4
             and not cfg.safe_softmax
             and stack_fits(cfg.num_heads, cfg.hidden_dim, cfg.mlp_dim,
-                           round_up(cfg.seq_len, SUBLANE_BF16),
+                           round_up(cfg.seq_len, pad_sublane(jnp.bfloat16)),
                            round_up(cfg.seq_len, LANE), batch))
 
 
@@ -720,15 +718,14 @@ def forward_latency(params: Params, images: jax.Array,
 
 def full_latency_supported(cfg: ViTConfig, batch: int) -> bool:
     """Gate for :func:`forward_latency_logits` (one-kernel ViT)."""
-    from ..ops.common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
+    from ..ops.common import LANE, pad_sublane_itemsize, round_up
     from ..ops.vit_stack import stack_full_plan
     if cfg.num_prefix_tokens != 1 or cfg.num_classes < 1:
         return False
     if cfg.hidden_act not in ("gelu", "gelu_tanh", "quick_gelu"):
         return False
     itemsize = 2 if cfg.dtype == "bfloat16" else 4
-    sub = SUBLANE_BF16 if itemsize == 2 else SUBLANE_F32
-    n_pad = round_up(cfg.seq_len, sub)
+    n_pad = round_up(cfg.seq_len, pad_sublane_itemsize(itemsize))
     kv_pad = round_up(cfg.seq_len, LANE)
     p3 = cfg.patch_size * cfg.patch_size * 3
     cls_pad = round_up(cfg.num_classes, LANE)
@@ -772,8 +769,8 @@ def prep_full_latency(params: Params, cfg: ViTConfig) -> Params:
 
 
 def _stack_sublane(dt) -> int:
-    from ..ops.common import SUBLANE_BF16, SUBLANE_F32
-    return SUBLANE_BF16 if dt == jnp.bfloat16 else SUBLANE_F32
+    from ..ops.common import pad_sublane
+    return pad_sublane(dt)
 
 
 def forward_latency_logits(params: Params, images: jax.Array,

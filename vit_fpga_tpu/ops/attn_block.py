@@ -56,7 +56,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
+from .common import LANE, round_up
 
 _NEG_INF = -1e30
 # max-free softmax clip window (see _attn_block_kernel): exp must not
@@ -65,7 +65,8 @@ _EXP_LO, _EXP_HI = -70.0, 80.0
 
 
 def _sublane(dtype) -> int:
-    return SUBLANE_BF16 if dtype == jnp.bfloat16 else SUBLANE_F32
+    from .common import pad_sublane
+    return pad_sublane(dtype)
 
 
 _BIG_VMEM_BYTES = 100 * 1024 * 1024    # v5e has 128MB physical VMEM

@@ -20,6 +20,32 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Token-row pad granularity for the padded-residency layout.  bf16's
+# native tile is (16, 128) but Mosaic's hard requirement is only
+# divisibility by 8 (masked half-tiles), so padding ViT-B's 197 tokens
+# to 200 instead of 208 cuts 4% of the rows off every qkv/MLP/PV GEMM.
+# Measured bit-exact and faster on hw, 4/4 A/B rounds
+# (experiments/perf_pad200.py: 13.83 -> 13.48 ms/step at b64): see
+# docs/perf.md "Token-row pad granularity".
+_PAD_SUBLANE_BF16 = 8
+
+
+def pad_sublane(dtype) -> int:
+    """Sublane multiple used to pad token rows for this compute dtype.
+
+    Every padded-residency site (models and kernels) MUST agree on this
+    value so tensors flow between kernels without re-padding.
+    """
+    if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16):
+        return _PAD_SUBLANE_BF16
+    return SUBLANE_F32
+
+
+def pad_sublane_itemsize(itemsize: int) -> int:
+    """pad_sublane keyed by itemsize (2 = bf16, 4 = f32)."""
+    return _PAD_SUBLANE_BF16 if itemsize == 2 else SUBLANE_F32
+
+
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 

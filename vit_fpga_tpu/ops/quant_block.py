@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .attn_block import _mha_loop, pair_pack_ok
-from .common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
+from .common import LANE, pad_sublane, round_up
 from .quant_fused import QMAX
 
 _NEG_INF = -1e30
@@ -229,7 +229,7 @@ def attn_block_int8(x, ln_scale, ln_bias, wqkvq, wqkvs, bqkv, woq, wos, bo,
     dh = d // num_heads
     if n_valid is None:
         n_valid = n
-    sub = SUBLANE_BF16 if x.dtype == jnp.bfloat16 else SUBLANE_F32
+    sub = pad_sublane(x.dtype)
     n_pad = round_up(n, sub)
     kv_pad = round_up(n, LANE)
     if n_pad != n:
@@ -467,7 +467,7 @@ def attn_block_int8_stats(x, stats, ln_scale, ln_bias, wqkvq, wqkvs, bqkv,
     dh = d // num_heads
     if n_valid is None:
         n_valid = n
-    sub = SUBLANE_BF16 if x.dtype == jnp.bfloat16 else SUBLANE_F32
+    sub = pad_sublane(x.dtype)
     n_pad = round_up(n, sub)
     kv_pad = round_up(n, LANE)
     assert x.shape[1] == n_pad == stats.shape[1], (

@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .attn_block import _mha_loop, pair_pack_ok
-from .common import LANE, SUBLANE_BF16, SUBLANE_F32, round_up
+from .common import LANE, pad_sublane, round_up
 
 _NEG_INF = -1e30
 _EXP_LO, _EXP_HI = -70.0, 80.0   # max-free softmax window (attn_block.py)
@@ -150,7 +150,7 @@ def vit_layers_pallas(x, blocks, num_heads: int, eps: float = 1e-6,
     dh = d // num_heads
     if n_valid is None:
         n_valid = n
-    sub = SUBLANE_BF16 if x.dtype == jnp.bfloat16 else SUBLANE_F32
+    sub = pad_sublane(x.dtype)
     n_pad = round_up(n, sub)
     kv_pad = round_up(n, LANE)
     if n_pad != n:
@@ -324,7 +324,7 @@ def vit_layers_int8_pallas(x, qblocks, num_heads: int, eps: float = 1e-6,
     dh = d // num_heads
     if n_valid is None:
         n_valid = n
-    sub = SUBLANE_BF16 if x.dtype == jnp.bfloat16 else SUBLANE_F32
+    sub = pad_sublane(x.dtype)
     n_pad = round_up(n, sub)
     kv_pad = round_up(n, LANE)
     if n_pad != n:

@@ -228,11 +228,10 @@ mlp_partial.defvjp(_mlp_partial_fwd, _mlp_partial_bwd)
 def _block_fits(cfg: vit.ViTConfig, tp: int) -> bool:
     """Do the tp-partial fused kernels fit VMEM for this geometry?"""
     from ..ops.attn_block import attn_plan
-    from ..ops.common import LANE, round_up as ru
+    from ..ops.common import LANE, pad_sublane_itemsize, round_up as ru
     from ..ops.fused_mlp import mlp_weight_chunks
     itemsize = 2 if cfg.dtype == "bfloat16" else 4
-    sub = 16 if itemsize == 2 else 8
-    n_pad = ru(cfg.seq_len, sub)
+    n_pad = ru(cfg.seq_len, pad_sublane_itemsize(itemsize))
     kv_pad = ru(cfg.seq_len, LANE)
     ok_attn = attn_plan(cfg.num_heads // tp, cfg.hidden_dim, n_pad, kv_pad,
                         itemsize, d_attn=cfg.hidden_dim // tp).n_sc >= 1
@@ -250,8 +249,8 @@ def _forward_local(params: Params, images: jax.Array, cfg: vit.ViTConfig,
     dt = cfg.compute_dtype
     n, d = cfg.seq_len, cfg.hidden_dim
     heads_loc = cfg.num_heads // tp
-    sub = 16 if dt == jnp.bfloat16 else 8
-    n_pad = round_up(n, sub)
+    from ..ops.common import pad_sublane
+    n_pad = round_up(n, pad_sublane(dt))
 
     if tp == 1 and impl in ("pallas", "xla"):
         # no tensor-parallel splits: each dp shard runs the FULL
