@@ -11,6 +11,12 @@ BASELINE.json: > 0.90.
 Usage: python bench.py [model=vit_b16] [batch=64] [image=224]
                        [dtype=bfloat16] [iters=10] [inner=8] [attn=auto]
                        [raw=false] [json_only=true] [mode=throughput]
+                       [extras=auto]
+
+With no arguments (the driver invocation) the line also carries an
+"extras" dict with the int8-throughput and bf16/int8 batch-1 latency
+configs, so every BENCH_r*.json artifact records all headline numbers;
+pass extras=false (or any explicit argument) to run one config only.
 
 Modes:
   throughput — images/sec at the given batch (default; the headline)
@@ -43,6 +49,29 @@ def vit_flops_per_image(cfg) -> float:
 def main(argv):
     from vit_fpga_tpu.utils.options import Options
     opts = Options(argv)
+    extras = opts.get("extras", bool, not argv)
+    result = run(opts)
+    if extras and result.get("unit") == "images/sec/chip":
+        # Attach the other BASELINE-relevant configs to the single JSON
+        # line so the driver artifact (BENCH_r*.json) records them too:
+        # the reference's defining datapath was fixed-point
+        # (/root/reference/def/defines.h:10-12) and its primary metric
+        # per-call us latency (/root/reference/src/netFPGA.cpp:262-284).
+        result["extras"] = {}
+        for key, extra_argv in (
+            ("int8_throughput", ["dtype=int8"]),
+            ("bf16_latency", ["mode=latency"]),
+            ("int8_latency", ["mode=latency", "dtype=int8"]),
+        ):
+            try:
+                result["extras"][key] = run(Options(list(extra_argv)))
+            except Exception as e:  # noqa: BLE001 — extras never break
+                result["extras"][key] = {"error": f"{type(e).__name__}: "
+                                                  f"{e}"}
+    print(json.dumps(result))
+
+
+def run(opts):
     model = opts.get("model", str, "vit_b16")
     mode = opts.get("mode", str, "throughput")
     batch = opts.get("batch", int, 1 if mode == "latency" else 64)
@@ -187,14 +216,13 @@ def main(argv):
         fwd_flops = vit_flops_per_image(cfg) * batch
         train_flops = 3 * fwd_flops   # fwd + 2x bwd (standard estimate)
         peak = V5E_BF16_FLOPS if dtype == "bfloat16" else V5E_BF16_FLOPS / 2
-        print(json.dumps({
+        return {
             "metric": f"{model}@{image}px {dtype} batch-{batch} "
                       "train step time",
             "value": round(sec * 1e3, 3),
             "unit": "ms/step",
             "vs_baseline": round(train_flops / sec / peak, 4),
-        }))
-        return
+        }
 
     sec_per_call = time_device_loop(fwd, (run_params, images),
                                     n_lo=inner, n_hi=inner + iters,
@@ -217,7 +245,7 @@ def main(argv):
                 2 * V5E_BF16_FLOPS if dtype == "int8" else
                 V5E_BF16_FLOPS / 2)
         ideal = vit_flops_per_image(cfg) * batch / peak
-        print(json.dumps({
+        return {
             "metric": f"{model}@{image}px {dtype} batch-{batch} "
                       "single-image p50 latency",
             "value": round(p50 * 1e6, 1),
@@ -226,8 +254,7 @@ def main(argv):
             # p99 (each estimate is itself a device-loop mean)
             "max_us": round(reps[-1] * 1e6, 1),
             "vs_baseline": round(ideal / p50, 4),
-        }))
-        return
+        }
 
     flops = vit_flops_per_image(cfg)
     if dtype == "bfloat16":
@@ -244,13 +271,13 @@ def main(argv):
               f"step={sec_per_call * 1e3:.2f}ms "
               f"flops/img={flops / 1e9:.1f}G roofline={roofline:.0f}img/s "
               f"backend={jax.default_backend()}", file=sys.stderr)
-    print(json.dumps({
+    return {
         "metric": f"{model}@{image}px {dtype} batch-{batch} "
                   "inference throughput",
         "value": round(imgs_per_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(mfu, 4),
-    }))
+    }
 
 
 if __name__ == "__main__":

@@ -68,8 +68,10 @@ def main():
                 ref_out = out
             else:
                 d = np.max(np.abs(out - ref_out))
-                if d != 0.0:
-                    print(f"   parity vs A: max|diff| = {d:.3e}")
+                # the bit-exact claim in docs/perf.md rests on this:
+                # fail loudly so a numerics regression can't be logged
+                # as a perf win
+                assert d == 0.0, f"pad8 parity broke: max|diff| = {d:.3e}"
     common._PAD_SUBLANE_BF16 = 16
 
     for tag, secs in results.items():

@@ -545,8 +545,9 @@ def _forward_features(params: Params, images: jax.Array,
     # keys) instead of letting every fused kernel pad/slice per layer —
     # saves ~0.4 ms/step at ViT-B/16 b64
     # (experiments/perf_padded_residency.py) and is bit-exact.  The MLP
-    # runs the pad rows (5.6% extra GEMM rows at ViT-B) but that is
-    # cheaper than 24 HBM pad/slice copies.
+    # runs the pad rows (1.5% extra GEMM rows at ViT-B with the pad-8
+    # layout from ops/common.pad_sublane) but that is cheaper than 24
+    # HBM pad/slice copies.
     n = cfg.seq_len
     from ..ops.common import pad_sublane, round_up
     n_pad = round_up(n, pad_sublane(dt))

@@ -12,17 +12,20 @@ v2 design decisions (round 2; every line A/B-measured on v5e —
 experiments/perf_attn_v2.py, perf_attn_bigvmem.py, perf_attn_tune2.py):
 
   * Token ROWS (the GEMM M dim) are padded only to the sublane multiple
-    (16 for bf16, 8 for f32) instead of the 128 lane width: seq 197 runs
-    on 208 rows, not 256 — ~19% of projection FLOPs saved.  Only the
-    scores' LANE dim needs 128 alignment, so the kernel keeps a separate
-    128-padded K/V panel (``qkv_s`` scratch, tail zeroed) that the score
-    and PV contractions read; the zeroed tail + the column mask keep the
-    math exact.  0.705 -> 0.490 ms per layer at ViT-B/16 b64, bit-exact.
+    from ops/common.pad_sublane (the source of truth; round 3 tightened
+    bf16 to 8-row masked half-tiles) instead of the 128 lane width: seq
+    197 runs on 200 rows, not 256 — ~22% of projection FLOPs saved.
+    Only the scores' LANE dim needs 128 alignment, so the kernel keeps a
+    separate 128-padded K/V panel (``qkv_s`` scratch, tail zeroed) that
+    the score and PV contractions read; the zeroed tail + the column
+    mask keep the math exact.  0.705 -> 0.490 ms per layer at ViT-B/16
+    b64 when first landed at pad-16, bit-exact; pad-8 added another 3%
+    end-to-end (experiments/perf_pad200.py).
   * Softmax stays PHASE-SPLIT (all QK^T of a head group, then all
     softmax+PV): an interleaved "rolling" schedule measured 3x slower —
     Mosaic schedules the straight-line phases better than a hand pipeline.
   * MULTI-IMAGE cells: processing 4 images per grid cell (projections on
-    4*208 rows, per-image attention reusing 6 score slots) measured
+    4*n_pad rows, per-image attention reusing 6 score slots) measured
     0.525 vs 0.596 ms/layer — fewer cells amortize per-cell overhead and
     bigger GEMM M dims feed the MXU better.  Needs the VMEM limit raised
     (see below); used only in the fast tier.

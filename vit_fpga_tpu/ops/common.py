@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 # MXU / VPU native tile geometry (lane dim is always 128).
@@ -27,7 +29,14 @@ def round_up(x: int, m: int) -> int:
 # Measured bit-exact and faster on hw, 4/4 A/B rounds
 # (experiments/perf_pad200.py: 13.83 -> 13.48 ms/step at b64): see
 # docs/perf.md "Token-row pad granularity".
-_PAD_SUBLANE_BF16 = 8
+#
+# Escape hatch: masked bf16 half-tiles are a Mosaic behavior, not a
+# documented guarantee.  If a toolchain bump rejects pad-8 shapes, set
+# VIT_PAD_SUBLANE_BF16=16 to degrade to the old (correct, ~4% slower)
+# native-tile layout instead of failing every bf16 Pallas compile.
+_PAD_SUBLANE_BF16 = int(os.environ.get("VIT_PAD_SUBLANE_BF16", "8"))
+if _PAD_SUBLANE_BF16 not in (8, 16):
+    raise ValueError("VIT_PAD_SUBLANE_BF16 must be 8 or 16")
 
 
 def pad_sublane(dtype) -> int:
