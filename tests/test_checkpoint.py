@@ -64,3 +64,63 @@ def test_train_state_resume_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Trust-boundary calibration (VERDICT r3 #5): importing a hot-logit
+# checkpoint through the IMPORT PATH (not the manual calibrate API) must
+# land on the exact max-subtract softmax.
+# ---------------------------------------------------------------------------
+
+def _tiny_hf_vit(hot: bool):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    hf_cfg = transformers.ViTConfig(
+        image_size=32, patch_size=8, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128, num_labels=6)
+    torch.manual_seed(0)
+    model = transformers.ViTForImageClassification(hf_cfg).eval()
+    if hot:
+        # inflate q/k so attention scores blow past the [-70, 80] window
+        with torch.no_grad():
+            for blk in model.vit.encoder.layer:
+                blk.attention.attention.query.weight *= 40.0
+                blk.attention.attention.key.weight *= 40.0
+    return model
+
+
+def test_hf_import_path_autocalibrates_hot_checkpoint():
+    from vit_fpga_tpu.utils.checkpoint import import_hf_vit
+    params, cfg = import_hf_vit(_tiny_hf_vit(hot=True), dtype="float32")
+    assert cfg.safe_softmax, "hot HF checkpoint must import onto the " \
+                             "exact max-subtract softmax path"
+    # the built config matches the checkpoint's own geometry
+    assert (cfg.hidden_dim, cfg.depth, cfg.num_heads, cfg.mlp_dim,
+            cfg.num_classes) == (64, 2, 4, 128, 6)
+    assert "head" in params
+
+
+def test_hf_import_path_keeps_fast_path_for_cold_checkpoint():
+    from vit_fpga_tpu.utils.checkpoint import import_hf_vit
+    _, cfg = import_hf_vit(_tiny_hf_vit(hot=False), dtype="float32")
+    assert not cfg.safe_softmax
+
+
+def test_autocalibrated_is_idempotent_and_loud(caplog):
+    import logging
+    from vit_fpga_tpu.utils.checkpoint import autocalibrated
+    cfg = _tiny_cfg()
+    params = vit.init_params(jax.random.key(0), cfg)
+    # make it hot by scaling qkv weights the same way serving would see
+    params["blocks"]["wqkv"] = params["blocks"]["wqkv"] * 40.0
+    with caplog.at_level(logging.WARNING):
+        out = autocalibrated(params, cfg, source="unit-test ckpt")
+    assert out.safe_softmax
+    assert any("hot attention logits" in r.message for r in caplog.records)
+    # already-safe configs don't warn again
+    with caplog.at_level(logging.WARNING):
+        caplog.clear()
+        out2 = autocalibrated(params, out, source="unit-test ckpt")
+    assert out2.safe_softmax
+    assert not any("hot attention logits" in r.message
+                   for r in caplog.records)

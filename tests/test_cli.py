@@ -31,3 +31,13 @@ def test_cli_calibrate(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "softmax mode:" in out
+
+
+def test_cli_serve_int8(capsys):
+    """cli serve dtype=int8 runs the quantized engine end-to-end."""
+    from vit_fpga_tpu import cli
+    rc = cli.main(["serve", "model=vit_ti16", "image=32", "batch=4",
+                   "images=8", "dtype=int8"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "dtype=int8" in out

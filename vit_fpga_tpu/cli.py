@@ -7,6 +7,8 @@ Commands:
   bench   — ViT/CLIP throughput (same engine as the repo-root bench.py)
   parity  — oracle-vs-device parity report (f32, bf16, int8 paths)
   serve   — throughput test of the JPEG serving pipeline
+            (dtype=bfloat16|int8, optional ckpt=<npz> with automatic
+            softmax-window calibration at load)
   export  — AOT-export a model dir for the native PJRT client
   calibrate — softmax clip-window check for a checkpoint (utils/calibrate)
 """
@@ -100,17 +102,42 @@ def cmd_serve(opts: Options) -> int:
     batch = opts.get("batch", int, 64)
     n = opts.get("images", int, 256)
     size = opts.get("image", int, 224)
-    if model.startswith("clip_"):
+    dtype = opts.get("dtype", str, "bfloat16")   # bfloat16 | int8
+    ckpt = opts.get("ckpt", str, "")
+    if dtype not in ("bfloat16", "int8"):
+        raise SystemExit("serve supports dtype=bfloat16|int8")
+    is_clip = model.startswith("clip_")
+    # The serving compute dtype is bf16 either way (int8 engines keep
+    # bf16 activations); cfg.dtype stays bfloat16 and the int8 switch
+    # picks the quantized forward below — one API, two datapaths, like
+    # the reference (/root/reference/include/netAbstract.h:8-21).
+    if is_clip:
         from .models import clip as clip_mod
         cfg = clip_mod.clip_vision_config(model.removeprefix("clip_"),
                                           image_size=size,
                                           dtype="bfloat16")
-        params = jax.device_put(
-            clip_mod.init_params(jax.random.key(0), cfg))
-        jfwd = clip_mod.jit_forward(cfg, raw=True)
+        params = (_load_ckpt(ckpt) if ckpt
+                  else clip_mod.init_params(jax.random.key(0), cfg))
     else:
         cfg = vit.config(model, image_size=size, dtype="bfloat16")
-        params = jax.device_put(vit.init_params(jax.random.key(0), cfg))
+        params = (_load_ckpt(ckpt) if ckpt
+                  else vit.init_params(jax.random.key(0), cfg))
+    if ckpt:
+        # trust boundary: never serve an unmeasured checkpoint on the
+        # max-free softmax fast path (utils/checkpoint.autocalibrated)
+        from .utils.checkpoint import autocalibrated
+        cfg = autocalibrated(params, cfg, source=f"ckpt {ckpt}")
+    if dtype == "int8":
+        from .models import quantized
+        quant = (quantized.quantize_clip_vision_fast if is_clip
+                 else quantized.quantize_vit_fast)
+        params = jax.device_put(quant(params))
+        jfwd = quantized.jit_forward_int8(cfg, raw=True, clip=is_clip)
+    elif is_clip:
+        params = jax.device_put(params)
+        jfwd = clip_mod.jit_forward(cfg, raw=True)
+    else:
+        params = jax.device_put(params)
         jfwd = vit.jit_forward(cfg, raw=True)
     rng = np.random.default_rng(0)
     jpegs = []
@@ -131,10 +158,15 @@ def cmd_serve(opts: Options) -> int:
             f.result(timeout=600)
         dt = time.perf_counter() - t0
     print(f"served {n} images in {dt:.2f}s ({n / dt:.1f} img/s), "
-          f"{server.batches} batches")
+          f"{server.batches} batches, dtype={dtype}")
     print("note: over the axon tunnel, host->device image transfer "
           "dominates; on local TPU hosts the device step is the bound")
     return 0
+
+
+def _load_ckpt(path: str):
+    from .utils.checkpoint import load_params
+    return load_params(path)
 
 
 def cmd_export(opts: Options) -> int:

@@ -597,3 +597,39 @@ def clip_forward_int8_fast(qparams: Params, images: jax.Array,
     pooled = vit_mod._layernorm(x[:, :1], qparams["ln_f_scale"],
                                 qparams["ln_f_bias"], cfg.ln_eps)[:, 0]
     return pooled.astype(jnp.float32) @ qparams["proj"]
+
+
+# ---------------------------------------------------------------------------
+# Serving entries: raw uint8 -> logits/embeddings, one XLA program.
+#
+# The reference serves its quantized datapath behind the SAME API as the
+# float one (/root/reference/include/netAbstract.h:8-21 — one
+# launch_forward regardless of DATA_TYPE); these give the int8 engines
+# the same raw-image signature as vit.forward_raw / clip.forward_raw so
+# runtime/serving.ImageServer and cli serve can swap datapaths freely.
+# ---------------------------------------------------------------------------
+
+def vit_forward_int8_raw(qparams: Params, images_u8: jax.Array,
+                         cfg: vit_mod.ViTConfig) -> jax.Array:
+    """Raw uint8 images -> logits through the fast int8 engine."""
+    return vit_forward_int8_fast(qparams, vit_mod.preprocess(images_u8, cfg),
+                                 cfg)
+
+
+def clip_forward_int8_raw(qparams: Params, images_u8: jax.Array,
+                          cfg: vit_mod.ViTConfig) -> jax.Array:
+    """Raw uint8 images -> CLIP embeddings through the int8 engine."""
+    return clip_forward_int8_fast(qparams,
+                                  vit_mod.preprocess(images_u8, cfg), cfg)
+
+
+def jit_forward_int8(cfg: vit_mod.ViTConfig, raw: bool = False,
+                     clip: bool = False):
+    """Compile-once int8 serving entry (mirrors vit.jit_forward)."""
+    import functools
+
+    if clip:
+        fn = clip_forward_int8_raw if raw else clip_forward_int8_fast
+    else:
+        fn = vit_forward_int8_raw if raw else vit_forward_int8_fast
+    return jax.jit(functools.partial(fn, cfg=cfg))

@@ -75,13 +75,19 @@ def _fused_kernel(x_ref, ls_ref, lb_ref, wq_ref, ws_ref, b_ref, o_ref, *,
 def int8_linear_fused(x, wq, ws, bias, act: str = "none",
                       ln_scale=None, ln_bias=None, ln_eps: float = 0.0,
                       block_t: int = 512, out_dtype=jnp.bfloat16,
-                      interpret: bool = False):
+                      interpret: Optional[bool] = None):
     """x: (T, K) float; wq: (K, N) int8; ws: (N,) f32; bias: (N,) f32.
 
     With ``ln_eps > 0`` (and ln_scale/ln_bias), LayerNorm runs inside the
     kernel ahead of quantization — the int8 block never round-trips the
     normalized activations through HBM.
+
+    ``interpret=None`` (default) resolves to interpret mode off-TPU so
+    the int8 engine runs on any backend (the serving surface and the
+    CPU test mesh use the same entry as production).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     t, k = x.shape
     n = wq.shape[1]
     tp = round_up(t, block_t)
