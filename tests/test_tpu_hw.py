@@ -524,3 +524,47 @@ def test_chunked_stats_chain_vit_l_on_hw():
     den = (np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
            + 1e-9)
     assert (num / den).min() > 0.999
+
+
+def test_tp_partial_kernels_compile_and_match_on_hw():
+    """Mosaic-compile the residual=False PARTIAL kernels at ViT-B tp=2
+    shapes on the single real chip and check parity vs the XLA partial
+    oracle (VERDICT r3 #9: the fused multi-chip path's per-shard kernels
+    must not rest on interpret mode alone).  This runs the exact
+    shard_map body (parallel/shard_model._attn/_mlp_partial_fwd_impl)
+    single-device — same shapes, same kernels, no mesh needed."""
+    import jax.numpy as jnp
+    from vit_fpga_tpu.parallel import shard_model as sm
+
+    d, heads, mlp, n, tp = 768, 12, 3072, 197, 2
+    h_loc, da, m_loc = heads // tp, d // tp, mlp // tp
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+
+    from vit_fpga_tpu.ops.common import pad_sublane, round_up
+    n_pad = round_up(n, pad_sublane(dt))
+    x = jnp.asarray(rng.normal(size=(2, n_pad, d)) * 0.5, dt)
+    ls = jnp.asarray(rng.normal(size=(d,)) * 0.1 + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(d, 3 * da)) * 0.02, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * da,)) * 0.02, jnp.float32)
+    wo = jnp.asarray(rng.normal(size=(da, d)) * 0.02, jnp.float32)
+
+    got = np.asarray(sm._attn_partial_fwd_impl(
+        x, ls, lb, wqkv, bqkv, wo, h_loc, 1e-6, n, "pallas", False),
+        np.float32)
+    want = np.asarray(sm._attn_partial_xla(
+        x, ls, lb, wqkv, bqkv, wo, h_loc, 1e-6, n), np.float32)
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+    assert err < 2e-2, f"tp=2 partial attention mismatch: rel {err:.2e}"
+
+    xt = x.reshape(2 * n_pad, d)
+    w1 = jnp.asarray(rng.normal(size=(d, m_loc)) * 0.02, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(m_loc,)) * 0.02, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(m_loc, d)) * 0.02, jnp.float32)
+    got = np.asarray(sm._mlp_partial_fwd_impl(
+        xt, ls, lb, w1, b1, w2, 1e-6, "gelu_tanh", "pallas"), np.float32)
+    want = np.asarray(sm._mlp_partial_xla(
+        xt, ls, lb, w1, b1, w2, 1e-6, "gelu_tanh"), np.float32)
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+    assert err < 2e-2, f"tp=2 partial MLP mismatch: rel {err:.2e}"
