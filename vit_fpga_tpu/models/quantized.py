@@ -310,7 +310,8 @@ def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig,
     if jax.default_backend() == "tpu" and _int8_block_fits(cfg):
         # round-2 path: whole-half int8 mega-kernels — activations never
         # leave VMEM between LN/quant/GEMM/dequant/act stages
-        from ..ops.quant_block import attn_block_int8, mlp_block_int8
+        from ..ops.quant_block import (attn_block_int8, mlp_block_int8,
+                                       mlp_block_t)
         x = attn_block_int8(
             x, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv_q"],
             blk["wqkv_s"], blk["bqkv"], blk["wo_q"], blk["wo_s"],
@@ -318,7 +319,8 @@ def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig,
         x2 = mlp_block_int8(
             x.reshape(b * n, d), blk["ln2_scale"], blk["ln2_bias"],
             blk["w1_q"], blk["w1_s"], blk["b1"], blk["w2_q"],
-            blk["w2_s"], blk["b2"], eps=cfg.ln_eps, act=act)
+            blk["w2_s"], blk["b2"], eps=cfg.ln_eps, act=act,
+            block_t=mlp_block_t(b * n, d, cfg.mlp_dim))
         return x2.reshape(b, n, d)
     # per-linear fused path (any geometry / backend)
     qkv = _fused_lin(x, blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"],

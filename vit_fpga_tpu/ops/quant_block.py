@@ -100,6 +100,24 @@ def _mlp_int8_kernel(x_ref, ls_ref, lb_ref, w1_ref, s1_ref, b1_ref,
     o_ref[:] = x + y.astype(x.dtype)
 
 
+def mlp_block_t(t: int, d: int, m: int, budget: int = 14 << 20) -> int:
+    """Pick the int8 MLP row-tile for T=t total rows.
+
+    Measured at ViT-B b64 (12800 rows): 640 beats 256 by 2-4% 4/4
+    rounds, 512 by ~2%, 384/768 lose, 1024 VMEM-OOMs
+    (experiments/perf_int8_r4b.py, perf_int8_r4c.py — all bit-exact;
+    row-tiling is exact because LN and row-quant are per-row).  Scoped
+    VMEM is ~2*d*m weight bytes + block_t*m*4 hidden-tile bytes, so the
+    bigger tiles only engage where they fit AND pad <=2% of rows —
+    batch-1 (200 rows) and CLIP-L (2*d*m alone is 8.4 MB) keep 256."""
+    for bt in (640, 512):
+        if 2 * d * m + bt * m * 4 > budget:
+            continue
+        if round_up(t, bt) - t <= t // 50:
+            return bt
+    return 256
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
                                              "interpret"))
 def mlp_block_int8(x, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2,
