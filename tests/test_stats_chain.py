@@ -220,3 +220,52 @@ def test_int8_stats_chain_gating():
     cfg = vit.config("vit_b16", dtype="bfloat16")
     # CPU backend in this suite: never supported off-TPU
     assert not _int8_stats_chain_supported(cfg, 64)
+
+
+def test_int8_stats_chain_bf16_tiles():
+    """bf16 stats tiles (round-4 probe: halves the chain's boundary HBM
+    traffic) — outputs must track the f32-tile chain within the bf16
+    stats precision, and emitted stats follow the input tile dtype."""
+    from vit_fpga_tpu.ops.quant_block import (attn_block_int8_stats,
+                                              mlp_block_int8_stats)
+    from vit_fpga_tpu.ops.quant_fused import quantize_weight_colwise as qc
+    rng = np.random.default_rng(7)
+    b, n, d, nh, m = 2, 32, 64, 2, 128
+    x = jnp.asarray(rng.normal(size=(b, n, d)) * 0.5, jnp.float32)
+    ls = jnp.ones((d,)); lb = jnp.zeros((d,))
+
+    def q(shape, scale=0.1):
+        wq, ws = qc(rng.normal(size=shape).astype(np.float32) * scale)
+        return jnp.asarray(wq), jnp.asarray(ws)
+
+    wqkv_q, wqkv_s = q((d, 3 * d))
+    wo_q, wo_s = q((d, d))
+    z3, zd = jnp.zeros((3 * d,)), jnp.zeros((d,))
+    st32 = jnp.asarray(_stats_of(np.asarray(x).reshape(-1, d))
+                       .reshape(b, n, STATS_LANES))
+    want, wsto = attn_block_int8_stats(x, st32, ls, lb, wqkv_q, wqkv_s,
+                                       z3, wo_q, wo_s, zd, nh, n_valid=28,
+                                       emit_stats=True, interpret=True)
+    got, sto = attn_block_int8_stats(x, st32.astype(jnp.bfloat16), ls, lb,
+                                     wqkv_q, wqkv_s, z3, wo_q, wo_s, zd,
+                                     nh, n_valid=28, emit_stats=True,
+                                     interpret=True)
+    assert sto.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got[:, :n], np.float32),
+                               np.asarray(want[:, :n], np.float32),
+                               rtol=0.05, atol=0.05)
+
+    w1_q, w1_s = q((d, m))
+    w2_q, w2_s = q((m, d))
+    got2, st2 = mlp_block_int8_stats(
+        got.reshape(b * n, d), sto.reshape(b * n, STATS_LANES), ls, lb,
+        w1_q, w1_s, jnp.zeros((m,)), w2_q, w2_s, zd, act="gelu_tanh",
+        emit_stats=True, interpret=True)
+    want2, _ = mlp_block_int8_stats(
+        want.reshape(b * n, d), wsto.reshape(b * n, STATS_LANES), ls, lb,
+        w1_q, w1_s, jnp.zeros((m,)), w2_q, w2_s, zd, act="gelu_tanh",
+        emit_stats=True, interpret=True)
+    assert st2.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got2, np.float32),
+                               np.asarray(want2, np.float32),
+                               rtol=0.05, atol=0.08)

@@ -266,7 +266,8 @@ def _int8_stats_chain_supported(cfg: vit_mod.ViTConfig,
 
 
 def _encoder_int8_stats_chain(x, blocks, cfg: vit_mod.ViTConfig,
-                              n_valid: int):
+                              n_valid: int,
+                              stats_dtype=jnp.float32):
     """Int8 encoder with LN (mu, rstd) stats passed between halves —
     the int8 halves are VPU-bound, so deleting each half's reduction
     preamble attacks the binding resource (see the bf16 chain,
@@ -283,7 +284,9 @@ def _encoder_int8_stats_chain(x, blocks, cfg: vit_mod.ViTConfig,
     st = jnp.zeros((b * n_pad, STATS_LANES), jnp.float32)
     st = st.at[:, 0:1].set(mu)
     st = st.at[:, 1:2].set(jax.lax.rsqrt(var + cfg.ln_eps))
-    st = st.reshape(b, n_pad, STATS_LANES)
+    # bf16 stats tiles halve the chain's boundary HBM traffic (round-4
+    # probe, experiments/perf_int8_chain_bf16.py)
+    st = st.astype(stats_dtype).reshape(b, n_pad, STATS_LANES)
     for i in range(cfg.depth):
         blk = jax.tree_util.tree_map(lambda a: a[i], blocks)
         x, st = attn_block_int8_stats(

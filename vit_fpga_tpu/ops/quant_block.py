@@ -340,8 +340,9 @@ def _mlp_int8_stats_kernel(x_ref, st_ref, ls_ref, lb_ref, w1_ref, s1_ref,
     from .attn_block import STATS_LANES  # noqa: F401  (lane layout doc)
     x = x_ref[:]
     xf = x.astype(jnp.float32)
-    mu = st_ref[:, 0:1]
-    rstd = st_ref[:, 1:2]
+    # stats tile may be bf16 (round-4 probe: halves the boundary HBM)
+    mu = st_ref[:, 0:1].astype(jnp.float32)
+    rstd = st_ref[:, 1:2].astype(jnp.float32)
     xn = (xf - mu) * rstd * ls_ref[0] + lb_ref[0]
     xq, sx = _row_quant(xn)
     acc1 = jax.lax.dot_general(xq, w1_ref[:], (((1,), (0,)), ((), ())),
@@ -359,8 +360,9 @@ def _mlp_int8_stats_kernel(x_ref, st_ref, ls_ref, lb_ref, w1_ref, s1_ref,
         mu2 = jnp.mean(of, axis=-1, keepdims=True)
         var2 = jnp.maximum(
             jnp.mean(of * of, axis=-1, keepdims=True) - mu2 * mu2, 0.0)
-        maybe_sto[0][:, 0:1] = mu2
-        maybe_sto[0][:, 1:2] = jax.lax.rsqrt(var2 + eps)
+        maybe_sto[0][:, 0:1] = mu2.astype(maybe_sto[0].dtype)
+        maybe_sto[0][:, 1:2] = jax.lax.rsqrt(var2 + eps).astype(
+            maybe_sto[0].dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
@@ -390,7 +392,7 @@ def mlp_block_int8_stats(x, stats, ln_scale, ln_bias, w1q, w1s, b1, w2q,
 
     out_specs = [tile] + ([stile] if emit_stats else [])
     out_shape = [jax.ShapeDtypeStruct((tp, d), x.dtype)] + (
-        [jax.ShapeDtypeStruct((tp, STATS_LANES), jnp.float32)]
+        [jax.ShapeDtypeStruct((tp, STATS_LANES), stats.dtype)]
         if emit_stats else [])
     outs = pl.pallas_call(
         functools.partial(_mlp_int8_stats_kernel, eps=eps, act=act,
@@ -434,8 +436,10 @@ def _attn_int8_stats_kernel(x_ref, st_ref, ls_ref, lb_ref, wqkv_ref,
     d = n_heads * dh
     x = x_ref[:].reshape(imgs * n_pad, d)
     xf = x.astype(jnp.float32)
-    mu = st_ref[:].reshape(imgs * n_pad, STATS_LANES)[:, 0:1]
-    rstd = st_ref[:].reshape(imgs * n_pad, STATS_LANES)[:, 1:2]
+    mu = st_ref[:].reshape(imgs * n_pad, STATS_LANES)[:, 0:1].astype(
+        jnp.float32)
+    rstd = st_ref[:].reshape(imgs * n_pad, STATS_LANES)[:, 1:2].astype(
+        jnp.float32)
     xn = (xf - mu) * rstd * ls_ref[0] + lb_ref[0]
     xq, sx = _row_quant(xn)
     for b in range(imgs):
@@ -466,9 +470,10 @@ def _attn_int8_stats_kernel(x_ref, st_ref, ls_ref, lb_ref, wqkv_ref,
         mu2 = jnp.mean(of, axis=-1, keepdims=True)
         var2 = jnp.maximum(
             jnp.mean(of * of, axis=-1, keepdims=True) - mu2 * mu2, 0.0)
-        sto_ref[:, :, 0:1] = mu2.reshape(imgs, n_pad, 1)
+        sto_ref[:, :, 0:1] = mu2.reshape(imgs, n_pad, 1).astype(
+            sto_ref.dtype)
         sto_ref[:, :, 1:2] = jax.lax.rsqrt(
-            var2 + eps).reshape(imgs, n_pad, 1)
+            var2 + eps).reshape(imgs, n_pad, 1).astype(sto_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "n_valid",
@@ -505,7 +510,7 @@ def attn_block_int8_stats(x, stats, ln_scale, ln_bias, wqkvq, wqkvs, bqkv,
 
     out_specs = [xtile] + ([stile] if emit_stats else [])
     out_shape = [jax.ShapeDtypeStruct((b, n_pad, d), x.dtype)] + (
-        [jax.ShapeDtypeStruct((b, n_pad, STATS_LANES), jnp.float32)]
+        [jax.ShapeDtypeStruct((b, n_pad, STATS_LANES), stats.dtype)]
         if emit_stats else [])
     outs = pl.pallas_call(
         functools.partial(_attn_int8_stats_kernel, eps=eps,
