@@ -250,9 +250,12 @@ def _int8_stats_chain_supported(cfg: vit_mod.ViTConfig,
     ViT-B b64 (10.8 -> 11.0 ms, experiments/perf_int8_chain.py).  The
     chain moves each LN reduction into the producer's epilogue where it
     must hide behind tail MXU work — the int8 halves have HALF the MXU
-    time of bf16, so the epilogue is exposed, and the (rows, 128) f32
-    stats tile adds HBM traffic both ways.  The kernels stay available
-    (tested in interpret mode) as the measured record."""
+    time of bf16, so the epilogue is exposed.  The round-4 bf16-stats-
+    tile variant (halving the tile's boundary HBM traffic) measured the
+    SAME 4/4 loss (~9.0 -> ~9.35 ms, experiments/perf_int8_chain_bf16.py:
+    f32 and bf16 tiles tie within noise), isolating the exposed-epilogue
+    mechanism as the whole cost.  The kernels stay available (tested in
+    interpret mode) as the measured record."""
     from ..ops.common import LANE, pad_sublane, round_up
     from ..ops.quant_block import score_slots_int8
     if (not _INT8_STATS_CHAIN or jax.default_backend() != "tpu"
