@@ -262,3 +262,97 @@ def test_int8_serving_tracks_bf16_serving_path():
     a, b = outs["int8"], outs["bf16"]
     cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
     assert cos > 0.99, f"int8 serving diverged from bf16: cosine {cos}"
+
+
+def test_serving_work_conserving_flush():
+    """The flush deadline only applies when the device pipeline is idle:
+    while a batch is in flight, a partial batch keeps filling (flushing
+    early would burn a full device-batch time on a fraction of a batch —
+    experiments/perf_serving_stub.py measured 525 vs 1012 img/s)."""
+    import threading
+    import time as _time
+
+    release = threading.Event()
+    calls = []
+
+    class Lazy:
+        """Unmaterialized 'device' result: the batch is in flight until
+        release is set."""
+
+        def __array__(self, dtype=None, copy=None):
+            assert release.wait(10.0), "test device never released"
+            return np.zeros((4, 8), np.float32)
+
+    def fwd(batch):
+        calls.append(np.asarray(batch).copy())
+        return Lazy() if len(calls) == 1 else np.zeros((4, 8), np.float32)
+
+    img = np.full((8, 8, 3), 7, np.uint8)
+    server = ImageServer(fwd, image_size=8, batch_size=4, flush_ms=5.0,
+                         decode_workers=2)
+    try:
+        # batch 1: device idle -> partial flush at ~flush_ms with 1 image
+        f1 = server.submit_raw(img)
+        deadline = _time.monotonic() + 5.0
+        while len(calls) < 1 and _time.monotonic() < deadline:
+            _time.sleep(0.005)
+        assert len(calls) == 1
+        # device now busy: 3 more must NOT flush at flush_ms
+        f2 = [server.submit_raw(img) for _ in range(3)]
+        _time.sleep(0.15)   # 30x flush_ms
+        assert len(calls) == 1, "partial batch flushed while device busy"
+        release.set()       # device drains -> inflight 0 -> flush
+        deadline = _time.monotonic() + 5.0
+        while len(calls) < 2 and _time.monotonic() < deadline:
+            _time.sleep(0.005)
+        assert len(calls) == 2
+        # the deferred batch carried all 3 waiting images
+        filled = int((calls[1] == 7).all(axis=(1, 2, 3)).sum())
+        assert filled == 3, f"expected 3 filled rows, got {filled}"
+        f1.result(timeout=10)
+        for f in f2:
+            f.result(timeout=10)
+    finally:
+        release.set()
+        server.close()
+
+
+def test_serving_full_batch_dispatches_while_device_busy():
+    """A FULL batch must not wait for device idle — assembly is done, so
+    holding it adds latency for nothing (pipeline depth is max_inflight's
+    job, not the batcher's)."""
+    import threading
+    import time as _time
+
+    release = threading.Event()
+    calls = []
+
+    class Lazy:
+        def __array__(self, dtype=None, copy=None):
+            assert release.wait(10.0), "test device never released"
+            return np.zeros((4, 8), np.float32)
+
+    def fwd(batch):
+        calls.append(len(calls))
+        return Lazy() if len(calls) == 1 else np.zeros((4, 8), np.float32)
+
+    img = np.full((8, 8, 3), 7, np.uint8)
+    server = ImageServer(fwd, image_size=8, batch_size=4, flush_ms=5.0,
+                         decode_workers=2)
+    try:
+        f1 = server.submit_raw(img)   # partial flush while idle
+        deadline = _time.monotonic() + 5.0
+        while len(calls) < 1 and _time.monotonic() < deadline:
+            _time.sleep(0.005)
+        fs = [server.submit_raw(img) for _ in range(4)]   # a FULL batch
+        deadline = _time.monotonic() + 5.0
+        while len(calls) < 2 and _time.monotonic() < deadline:
+            _time.sleep(0.005)
+        assert len(calls) == 2, "full batch waited for device idle"
+        release.set()
+        f1.result(timeout=10)
+        for f in fs:
+            f.result(timeout=10)
+    finally:
+        release.set()
+        server.close()
