@@ -121,16 +121,28 @@ def run(opts):
 
     if dtype == "int8":
         # fast row-wise fused path (the per-tensor bit-exact path is the
-        # parity harness, not the serving path)
+        # parity harness, not the serving path); quant=static selects the
+        # calibrated static-scale datapath (round 5 — the reference-
+        # faithful fixed-point mode, /root/reference/def/defines.h:11-12)
+        quant = opts.get("quant", str, "dynamic")
         from vit_fpga_tpu.models import quantized
         if is_clip:
-            qparams = jax.device_put(
-                quantized.quantize_clip_vision_fast(params))
+            if quant == "static":
+                qparams = jax.device_put(
+                    quantized.quantize_clip_vision_static(params, cfg))
+            else:
+                qparams = jax.device_put(
+                    quantized.quantize_clip_vision_fast(params))
 
             def fwd(p, x):
                 return quantized.clip_forward_int8_fast(p, x, cfg)
         else:
-            qparams = jax.device_put(quantized.quantize_vit_fast(params))
+            if quant == "static":
+                qparams = jax.device_put(
+                    quantized.quantize_vit_static(params, cfg))
+            else:
+                qparams = jax.device_put(
+                    quantized.quantize_vit_fast(params))
 
             def fwd(p, x):
                 return quantized.vit_forward_int8_fast(p, x, cfg)

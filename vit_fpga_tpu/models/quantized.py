@@ -11,7 +11,7 @@ per-tensor activation quantization; LayerNorm/softmax/GELU stay f32.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -313,6 +313,8 @@ def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig,
                  n_valid: int | None = None):
     b, n, d = x.shape
     act = "quick_gelu" if cfg.hidden_act == "quick_gelu" else "gelu_tanh"
+    if "inv_ao" in blk:        # calibrated static-scale tree
+        return _qblock_static(x, blk, cfg, n_valid=n_valid)
     if jax.default_backend() == "tpu" and _int8_block_fits(cfg):
         # round-2 path: whole-half int8 mega-kernels — activations never
         # leave VMEM between LN/quant/GEMM/dequant/act stages
@@ -339,6 +341,106 @@ def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig,
                    ln=(blk["ln2_scale"], blk["ln2_bias"]), eps=cfg.ln_eps)
     x = x + _fused_lin(h, blk["w2_q"], blk["w2_s"], blk["b2"])
     return x
+
+
+# ---------------------------------------------------------------------------
+# Static-scale (calibrated) int8 — round 5.  The reference's fixed-point
+# datapath uses a STATIC range (/root/reference/def/defines.h:11-12);
+# the dynamic kernels above compute per-row scales at runtime, and that
+# per-row quant VPU work is their measured bound (docs/perf.md round-4
+# int8 section).  Calibrating per-tensor-per-layer activation scales
+# (utils/calibrate.static_activation_scales) lets every quant/dequant
+# pass fold into arguments the kernels already consume — see
+# ops/quant_block.py "Static-scale variants" for the folding algebra.
+# Tree marker: blocks["inv_ao"] present <=> static tree.
+# ---------------------------------------------------------------------------
+
+
+def quantize_vit_static(params: Params, cfg: vit_mod.ViTConfig,
+                        images: Optional[jax.Array] = None,
+                        margin: float = 1.0) -> Params:
+    """quantize_vit_fast tree with calibrated static activation scales
+    folded in.  ``images``: optional real calibration batch (normalized
+    inputs); defaults to the synthetic probe batch.  Saturation beyond
+    the calibrated absmax is the graceful-degradation contract."""
+    from ..ops.quant_fused import QMAX
+    from ..utils.calibrate import static_activation_scales
+    sc = static_activation_scales(params, cfg, images, margin)
+    out = quantize_vit_fast(params)
+    return _fold_static_scales(out, sc, QMAX)
+
+
+def _fold_static_scales(out: Params, sc, qmax: float) -> Params:
+    """Fold activation quant scales into the fast-tree arguments:
+    LN affine absorbs 1/s_x, dequant column scales absorb s_x; the two
+    non-foldable inverses ride the kernels' scalar slots."""
+    blk = dict(out["blocks"])
+    sx1 = (sc["a_x1"] / qmax).astype(np.float32)        # (depth,)
+    s_ao = (sc["a_ao"] / qmax).astype(np.float32)
+    sx2 = (sc["a_x2"] / qmax).astype(np.float32)
+    s_h = (sc["a_h"] / qmax).astype(np.float32)
+
+    def col(v):  # (depth,) -> broadcast over (depth, n)
+        return jnp.asarray(v)[:, None]
+
+    blk["ln1_scale"] = blk["ln1_scale"].astype(jnp.float32) / col(sx1)
+    blk["ln1_bias"] = blk["ln1_bias"].astype(jnp.float32) / col(sx1)
+    blk["wqkv_s"] = blk["wqkv_s"].astype(jnp.float32) * col(sx1)
+    blk["wo_s"] = blk["wo_s"].astype(jnp.float32) * col(s_ao)
+    blk["ln2_scale"] = blk["ln2_scale"].astype(jnp.float32) / col(sx2)
+    blk["ln2_bias"] = blk["ln2_bias"].astype(jnp.float32) / col(sx2)
+    blk["w1_s"] = blk["w1_s"].astype(jnp.float32) * col(sx2)
+    blk["w2_s"] = blk["w2_s"].astype(jnp.float32) * col(s_h)
+    blk["inv_ao"] = jnp.asarray(1.0 / s_ao, jnp.float32)[:, None]
+    blk["inv_ah"] = jnp.asarray(1.0 / s_h, jnp.float32)[:, None]
+    out = dict(out)
+    out["blocks"] = blk
+    return out
+
+
+def quantize_clip_vision_static(params: Params, cfg: vit_mod.ViTConfig,
+                                images: Optional[jax.Array] = None,
+                                margin: float = 1.0) -> Params:
+    """Static-scale tree for a CLIP vision tower (ln_pre/proj stay f32)."""
+    from ..ops.quant_fused import QMAX
+    from ..utils.calibrate import static_activation_scales
+    sc = static_activation_scales(params, cfg, images, margin)
+    out = quantize_clip_vision_fast(params)
+    return _fold_static_scales(out, sc, QMAX)
+
+
+def _qblock_static(x, blk, cfg: vit_mod.ViTConfig,
+                   n_valid: int | None = None):
+    """One static-scale int8 block: mega-kernels on TPU, reference
+    semantics elsewhere (the CPU test mesh runs the same entry)."""
+    b, n, d = x.shape
+    act = "quick_gelu" if cfg.hidden_act == "quick_gelu" else "gelu_tanh"
+    if jax.default_backend() == "tpu" and _int8_block_fits(cfg):
+        from ..ops.quant_block import (attn_block_int8_static,
+                                       mlp_block_int8_static, mlp_block_t)
+        x = attn_block_int8_static(
+            x, blk["inv_ao"], blk["ln1_scale"], blk["ln1_bias"],
+            blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"], blk["wo_q"],
+            blk["wo_s"], blk["bo"], cfg.num_heads, eps=cfg.ln_eps,
+            n_valid=n_valid)
+        x2 = mlp_block_int8_static(
+            x.reshape(b * n, d), blk["inv_ah"], blk["ln2_scale"],
+            blk["ln2_bias"], blk["w1_q"], blk["w1_s"], blk["b1"],
+            blk["w2_q"], blk["w2_s"], blk["b2"], eps=cfg.ln_eps, act=act,
+            block_t=mlp_block_t(b * n, d, cfg.mlp_dim))
+        return x2.reshape(b, n, d)
+    from ..ops.quant_block import (attn_block_int8_static_ref,
+                                   mlp_block_int8_static_ref)
+    x = attn_block_int8_static_ref(
+        x, blk["inv_ao"][0], blk["ln1_scale"], blk["ln1_bias"],
+        blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"], blk["wo_q"],
+        blk["wo_s"], blk["bo"], cfg.num_heads, eps=cfg.ln_eps,
+        n_valid=n_valid)
+    t = mlp_block_int8_static_ref(
+        x.reshape(b * n, d), blk["inv_ah"][0], blk["ln2_scale"],
+        blk["ln2_bias"], blk["w1_q"], blk["w1_s"], blk["b1"],
+        blk["w2_q"], blk["w2_s"], blk["b2"], eps=cfg.ln_eps, act=act)
+    return t.reshape(b, n, d)
 
 
 def vit_forward_int8_fast(qparams: Params, images: jax.Array,
@@ -449,7 +551,8 @@ def vit_forward_int8_latency(qparams: Params, images: jax.Array,
     may be the plain quantize_vit_fast tree or the fold.
     Inference-only."""
     from ..ops.patch_embed import embed_tokens_dotg
-    from ..ops.vit_stack import vit_layers_int8_pallas
+    from ..ops.vit_stack import (vit_layers_int8_pallas,
+                                 vit_layers_int8_static_pallas)
     dt = jnp.bfloat16
     n, npre = cfg.seq_len, cfg.num_prefix_tokens
     npch = n - npre
@@ -459,8 +562,13 @@ def vit_forward_int8_latency(qparams: Params, images: jax.Array,
     x = embed_tokens_dotg(images.astype(dt), prep["wp_cl"],
                           prep["posb_cl"], cfg.patch_size, npre,
                           prefix_last=True)
-    toks = vit_layers_int8_pallas(x, prep["blocks"], cfg.num_heads,
-                                  eps=cfg.ln_eps, act=act, n_valid=n)
+    if "inv_ao" in prep["blocks"]:   # calibrated static-scale tree
+        toks = vit_layers_int8_static_pallas(x, prep["blocks"],
+                                             cfg.num_heads, eps=cfg.ln_eps,
+                                             act=act, n_valid=n)
+    else:
+        toks = vit_layers_int8_pallas(x, prep["blocks"], cfg.num_heads,
+                                      eps=cfg.ln_eps, act=act, n_valid=n)
     pooled_rows = toks[:, npch:npch + 1]   # CLS moved to the end
     cls_t = vit_mod._layernorm(pooled_rows, prep["lfs"], prep["lfb"],
                                cfg.ln_eps)

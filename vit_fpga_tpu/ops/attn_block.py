@@ -154,8 +154,15 @@ def pair_pack_ok(dh: int, n_heads: int, n_sc: int) -> bool:
 
 def _mha_loop(x, qkv_ref, scores_ref, ao_ref, *, imgs: int, n_pad: int,
               kv_pad: int, n_heads: int, dh: int, n_sc: int, scale: float,
-              n_valid: int, safe_softmax: bool, pairs: bool):
+              n_valid: int, safe_softmax: bool, pairs: bool,
+              out_scale=None):
     """Per-image multi-head attention over the zero-tailed K/V panel.
+
+    ``out_scale`` (traced f32 scalar or None) multiplies the attention
+    output — the static-scale int8 kernels (ops/quant_block.py) fold
+    their activation quantization scale 1/a_ao here, into the post-PV
+    reciprocal that already runs on the tiny (rows, 1) denominator
+    vector, so pre-scaling for quantization costs zero extra VPU passes.
 
     ``ao_ref is None`` selects the q-slot-reuse tier (pv overwrites the
     dead q lanes).  ``pairs`` packs head PAIRS per score GEMM: at dh=64
@@ -207,7 +214,10 @@ def _mha_loop(x, qkv_ref, scores_ref, ao_ref, *, imgs: int, n_pad: int,
                     pv = jnp.dot(
                         e.astype(x.dtype), v,
                         preferred_element_type=jnp.float32)
-                    pv = (pv * jax.lax.reciprocal(denom)).astype(x.dtype)
+                    r = jax.lax.reciprocal(denom)
+                    if out_scale is not None:
+                        r = r * out_scale
+                    pv = (pv * r).astype(x.dtype)
                     if ao_ref is not None:
                         ao_ref[b * n_pad:(b + 1) * n_pad,
                                h * dh:(h + 1) * dh] = pv
@@ -265,6 +275,9 @@ def _mha_loop(x, qkv_ref, scores_ref, ao_ref, *, imgs: int, n_pad: int,
                     jnp.sum(e[:, :kv_pad], axis=-1, keepdims=True))
                 r1 = jax.lax.reciprocal(
                     jnp.sum(e[:, kv_pad:], axis=-1, keepdims=True))
+                if out_scale is not None:
+                    r0 = r0 * out_scale
+                    r1 = r1 * out_scale
                 div = jnp.where(lane_sm == 0, r0, r1)
                 vs = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 2) * dh]
                 vbd = jnp.concatenate(

@@ -551,3 +551,289 @@ def attn_block_int8_stats(x, stats, ln_scale, ln_bias, wqkvq, wqkvs, bqkv,
     if emit_stats:
         return outs[0][:, :], outs[1]
     return outs, None
+
+
+# ---------------------------------------------------------------------------
+# Static-scale (calibrated) variants — the reference-faithful fixed-point
+# datapath.  The reference's quantized range is STATIC
+# (/root/reference/def/defines.h:11-12: MAX_RANGE/MIN_RANGE are compile-
+# time constants), while the kernels above quantize dynamically per row.
+# The dynamic path's measured bound is "per-row quant VPU work the 2x-rate
+# MXU cannot hide" (docs/perf.md round-4 int8 section): each half pays two
+# absmax reduces + divides that exist ONLY because the scale is computed
+# at runtime.  With calibrated per-tensor-per-layer activation scales
+# (utils/calibrate.activation_absmax_stats) every one of those passes
+# folds away:
+#
+#   * the LN affine absorbs 1/a_x  (ls' = ls/a_x, lb' = lb/a_x) — the
+#     quantize step collapses to rint+saturate, zero extra passes;
+#   * the dequant column scales absorb a_x (s' = a_x * s) host-side;
+#   * the attention-output scale 1/a_ao rides the post-PV reciprocal
+#     that already runs on the (rows, 1) denominator (_mha_loop
+#     out_scale) — zero extra passes;
+#   * the MLP hidden scale 1/a_h folds into the GELU emission constants
+#     (_apply_act_scaled: the existing 0.5*h multiply becomes
+#     (0.5/a_h)*h) — zero extra passes.
+#
+# Unlike dynamic row-quant (where |x|/sx <= 127 by construction), the
+# saturating clip in _rint_i8 is LIVE: runtime activations may exceed the
+# calibration absmax, and int8 saturation is the graceful-degradation
+# contract (same semantics as the reference's fixed-point range clamp).
+# Accuracy is gated by tests/test_int8_static.py (cosine vs f32).
+# ---------------------------------------------------------------------------
+
+
+def _rint_i8(x):
+    """f32 already in the quant domain -> int8 (round + saturate)."""
+    return jnp.clip(jnp.rint(x), -QMAX, QMAX).astype(jnp.int8)
+
+
+def _apply_act_scaled(h, act: str, s):
+    """act(h) * s with the scale folded into the emission constants —
+    for gelu_tanh the existing 0.5*h multiply absorbs it (free); for
+    relu, s > 0 commutes with max."""
+    if act == "gelu_tanh":
+        h2 = h * h
+        u = h * (0.7978845608028654 + 0.035677408136300125 * h2)
+        hh = (0.5 * s) * h
+        return hh + hh * jnp.tanh(u)
+    if act == "quick_gelu":
+        return (s * h) * jax.nn.sigmoid(1.702 * h)
+    if act == "relu":
+        return jnp.maximum(s * h, 0.0)
+    raise ValueError(act)
+
+
+def _mlp_int8_static_kernel(qs_ref, x_ref, ls_ref, lb_ref, w1_ref, s1_ref,
+                            b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *,
+                            eps: float, act: str):
+    x = x_ref[:]
+    # ls/lb are pre-folded with 1/a_x: LN emits straight in quant domain
+    xn = _ln_f32(x, ls_ref, lb_ref, eps)
+    xq = _rint_i8(xn)
+    acc1 = jax.lax.dot_general(xq, w1_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    # s1 is pre-folded a_x * s1 -> h lands in the TRUE domain
+    h = acc1.astype(jnp.float32) * s1_ref[0] + b1_ref[0]
+    h = _apply_act_scaled(h, act, qs_ref[0, 0])    # * 1/a_h, free
+    hq = _rint_i8(h)
+    acc2 = jax.lax.dot_general(hq, w2_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    y = acc2.astype(jnp.float32) * s2_ref[0] + b2_ref[0]   # s2' = a_h*s2
+    o_ref[:] = x + y.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
+                                             "interpret"))
+def mlp_block_int8_static(x, inv_ah, ln_scale, ln_bias, w1q, w1s, b1, w2q,
+                          w2s, b2, eps: float = 1e-6,
+                          act: str = "gelu_tanh", block_t: int = 256,
+                          interpret: bool = False):
+    """Static-scale int8 MLP half.  Pre-folded arguments (see
+    models/quantized.quantize_vit_static): ``ln_scale``/``ln_bias``
+    carry 1/a_x, ``w1s`` carries a_x, ``w2s`` carries a_h; ``inv_ah``
+    is the (1, 1) f32 hidden-activation quant scale 1/a_h."""
+    t, d = x.shape
+    m = w1q.shape[1]
+    tp = round_up(t, block_t)
+    if tp != t:
+        x = jnp.pad(x, ((0, tp - t), (0, 0)))
+
+    tile = pl.BlockSpec((block_t, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_int8_static_kernel, eps=eps, act=act),
+        grid=(tp // block_t,),
+        in_specs=[smem, tile, const((1, d)), const((1, d)),
+                  const((d, m)), const((1, m)), const((1, m)),
+                  const((m, d)), const((1, d)), const((1, d))],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((tp, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * tp * d * m,
+            bytes_accessed=2 * tp * d * x.dtype.itemsize + 2 * d * m,
+            transcendentals=2 * tp * m),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(jnp.asarray(inv_ah, jnp.float32).reshape(1, 1),
+      x, ln_scale.reshape(1, -1).astype(jnp.float32),
+      ln_bias.reshape(1, -1).astype(jnp.float32),
+      w1q, w1s.reshape(1, -1).astype(jnp.float32),
+      b1.reshape(1, -1).astype(jnp.float32),
+      w2q, w2s.reshape(1, -1).astype(jnp.float32),
+      b2.reshape(1, -1).astype(jnp.float32))
+    return out[:t]
+
+
+def mlp_block_int8_static_ref(x, inv_ah, ln_scale, ln_bias, w1q, w1s, b1,
+                              w2q, w2s, b2, eps: float = 1e-6,
+                              act: str = "gelu_tanh"):
+    """Reference semantics (jnp, any backend); same pre-folded args."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+    xq = _rint_i8(xn)
+    acc1 = jax.lax.dot_general(xq, w1q, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    h = acc1.astype(jnp.float32) * w1s + b1
+    h = _apply_act_scaled(h, act, jnp.float32(inv_ah))
+    hq = _rint_i8(h)
+    acc2 = jax.lax.dot_general(hq, w2q, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    y = acc2.astype(jnp.float32) * w2s + b2
+    return x + y.astype(x.dtype)
+
+
+def _attn_int8_static_kernel(qs_ref, x_ref, ls_ref, lb_ref, wqkv_ref,
+                             sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
+                             o_ref, qkv_ref, scores_ref, *maybe_ao,
+                             eps: float, scale: float, n_valid: int,
+                             n_pad: int, kv_pad: int, n_heads: int,
+                             dh: int, n_sc: int, imgs: int,
+                             pairs: bool = False):
+    ao_ref = maybe_ao[0] if maybe_ao else None
+    d = n_heads * dh
+    x = x_ref[:].reshape(imgs * n_pad, d)
+
+    # ls/lb pre-folded with 1/a_x -> rint+saturate only
+    xn = _ln_f32(x, ls_ref, lb_ref, eps)
+    xq = _rint_i8(xn)
+    for b in range(imgs):
+        r0, r1 = b * n_pad, (b + 1) * n_pad
+        acc = jax.lax.dot_general(xq[r0:r1], wqkv_ref[:],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        # sqkv pre-folded a_x * sqkv -> TRUE-domain qkv
+        qkv_b = (acc.astype(jnp.float32) * sqkv_ref[0]
+                 + bqkv_ref[0]).astype(x.dtype)
+        if kv_pad != n_pad:
+            qkv_ref[b, :n_pad] = qkv_b
+            qkv_ref[b, n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d),
+                                           x.dtype)
+        else:
+            qkv_ref[b] = qkv_b
+
+    # 1/a_ao rides the post-PV reciprocal (zero extra passes): the
+    # attention output lands in scratch already in the quant domain
+    _mha_loop(x, qkv_ref, scores_ref, ao_ref, imgs=imgs, n_pad=n_pad,
+              kv_pad=kv_pad, n_heads=n_heads, dh=dh, n_sc=n_sc,
+              scale=scale, n_valid=n_valid, safe_softmax=False,
+              pairs=pairs, out_scale=qs_ref[0, 0])
+
+    if ao_ref is not None:
+        src = ao_ref[:]
+    else:
+        src = qkv_ref[:, :n_pad, :d].reshape(imgs * n_pad, d)
+    aoq = _rint_i8(src.astype(jnp.float32))
+    acc_o = jax.lax.dot_general(aoq, wo_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    y = acc_o.astype(jnp.float32) * so_ref[0] + bo_ref[0]  # so' = a_ao*so
+    o_ref[:] = (x + y.astype(x.dtype)).reshape(imgs, n_pad, d)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "n_valid",
+                                             "interpret"))
+def attn_block_int8_static(x, inv_ao, ln_scale, ln_bias, wqkvq, wqkvs,
+                           bqkv, woq, wos, bo, num_heads: int,
+                           eps: float = 1e-6, n_valid: int | None = None,
+                           interpret: bool = False):
+    """Static-scale int8 attention half.  Pre-folded arguments (see
+    models/quantized.quantize_vit_static); ``inv_ao`` is the (1, 1)
+    f32 attention-output quant scale 1/a_ao."""
+    b, n, d = x.shape
+    dh = d // num_heads
+    if n_valid is None:
+        n_valid = n
+    sub = pad_sublane(x.dtype)
+    n_pad = round_up(n, sub)
+    kv_pad = round_up(n, LANE)
+    if n_pad != n:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+    imgs, n_sc, reuse_q, vmem_limit = score_slots_int8(
+        num_heads, d, n_pad, kv_pad, batch=b)
+    if n_sc < 1:
+        raise ValueError(f"attn_block_int8_static does not fit VMEM at "
+                         f"d={d}, seq={n}")
+
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_int8_static_kernel, eps=eps,
+                          scale=1.0 / (dh ** 0.5), n_valid=min(n_valid, n),
+                          n_pad=n_pad, kv_pad=kv_pad, n_heads=num_heads,
+                          dh=dh, n_sc=n_sc, imgs=imgs,
+                          pairs=pair_pack_ok(dh, num_heads, n_sc)),
+        grid=(b // imgs,),
+        in_specs=[
+            smem,
+            pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, d)), const((1, d)),
+            const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
+            const((d, d)), const((1, d)), const((1, d)),
+        ],
+        out_specs=pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((imgs, kv_pad, 3 * d), x.dtype),
+            (pltpu.VMEM((n_sc // 2, n_pad, 2 * kv_pad), jnp.float32)
+             if pair_pack_ok(dh, num_heads, n_sc)
+             else pltpu.VMEM((n_sc, n_pad, kv_pad), jnp.float32)),
+        ] + ([] if reuse_q
+             else [pltpu.VMEM((imgs * n_pad, d), x.dtype)]),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_pad * d * (3 * d + d)
+            + 4 * b * num_heads * n_pad * kv_pad * dh,
+            bytes_accessed=2 * b * n_pad * d * x.dtype.itemsize
+            + 4 * d * d,
+            transcendentals=b * num_heads * n_pad * kv_pad),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            **({"vmem_limit_bytes": vmem_limit} if vmem_limit else {})),
+        interpret=interpret,
+    )(jnp.asarray(inv_ao, jnp.float32).reshape(1, 1),
+      x, ln_scale.reshape(1, -1).astype(jnp.float32),
+      ln_bias.reshape(1, -1).astype(jnp.float32),
+      wqkvq, wqkvs.reshape(1, -1).astype(jnp.float32),
+      bqkv.reshape(1, -1).astype(jnp.float32),
+      woq, wos.reshape(1, -1).astype(jnp.float32),
+      bo.reshape(1, -1).astype(jnp.float32))
+    return out[:, :n, :]
+
+
+def attn_block_int8_static_ref(x, inv_ao, ln_scale, ln_bias, wqkvq, wqkvs,
+                               bqkv, woq, wos, bo, num_heads: int,
+                               eps: float = 1e-6,
+                               n_valid: int | None = None):
+    """Reference semantics (jnp, any backend); same pre-folded args.
+    Quantizes the attention output with the STATIC scale (matching the
+    kernel), everything else exact f32."""
+    from .attention import mha_qkv_xla
+    b, n, d = x.shape
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+    xq = _rint_i8(xn)
+    acc = jax.lax.dot_general(xq.reshape(b * n, d), wqkvq,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    qkv = (acc.astype(jnp.float32) * wqkvs + bqkv).astype(
+        x.dtype).reshape(b, n, 3 * d)
+    o = mha_qkv_xla(qkv, num_heads, n_valid=n_valid).astype(jnp.float32)
+    oq = _rint_i8(o.reshape(b * n, d) * jnp.float32(inv_ao))
+    acc_o = jax.lax.dot_general(oq, woq, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    y = acc_o.astype(jnp.float32) * wos + bo
+    return x + y.reshape(b, n, d).astype(x.dtype)

@@ -309,6 +309,170 @@ def _stack_int8_kernel(x_ref, l1s, l1b, wqkv, sqkv, bqkv, wo, so, bo,
         o_ref[:] = out.reshape(batch, n_pad, d)
 
 
+# --- static-scale variant (round 5): calibrated per-tensor activation
+# scales delete the per-row quant work the batch-1 path serializes on —
+# the row absmax reduces + divides vanish (LN affine pre-folded with
+# 1/s_x, 1/a_ao riding the post-PV reciprocal, 1/a_h folded into the
+# GELU emission).  See ops/quant_block.py "Static-scale variants".
+
+
+def _layer_math_int8_static(x, qao, qah, l1s, l1b, wqkv, sqkv, bqkv, wo,
+                            so, bo, l2s, l2b, w1, s1, b1, w2, s2, b2,
+                            qkv_s, sc, ao, *, eps: float, scale: float,
+                            n_valid: int, n_pad: int, kv_pad: int,
+                            n_heads: int, dh: int, batch: int, act: str,
+                            pairs: bool = False):
+    """One static-scale int8 layer on (batch*n_pad, D) rows; ``qao``/
+    ``qah`` are the per-layer SMEM scalars 1/s_ao and 1/s_h."""
+    from .quant_block import _apply_act_scaled, _rint_i8
+    d = n_heads * dh
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+    # l1s/l1b pre-folded with 1/s_x1 -> quantize is rint+saturate only
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps) * l1s[0] + l1b[0]
+    xq = _rint_i8(xn)
+    acc = jax.lax.dot_general(xq, wqkv[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    qkv = (acc.astype(jnp.float32) * sqkv[0] + bqkv[0]).astype(x.dtype)
+    for b in range(batch):
+        if kv_pad != n_pad:
+            qkv_s[b, :n_pad] = qkv[b * n_pad:(b + 1) * n_pad]
+            qkv_s[b, n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d), x.dtype)
+        else:
+            qkv_s[b] = qkv[b * n_pad:(b + 1) * n_pad]
+    _mha_loop(x, qkv_s, sc, ao, imgs=batch, n_pad=n_pad, kv_pad=kv_pad,
+              n_heads=n_heads, dh=dh, n_sc=n_heads, scale=scale,
+              n_valid=n_valid, safe_softmax=False, pairs=pairs,
+              out_scale=qao)
+    aoq = _rint_i8(ao[:].astype(jnp.float32))
+    acc_o = jax.lax.dot_general(aoq, wo[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    y = acc_o.astype(jnp.float32) * so[0] + bo[0]
+    xa = x + y.astype(x.dtype)
+
+    xf2 = xa.astype(jnp.float32)
+    mu2 = jnp.mean(xf2, axis=-1, keepdims=True)
+    var2 = jnp.maximum(
+        jnp.mean(xf2 * xf2, axis=-1, keepdims=True) - mu2 * mu2, 0.0)
+    xn2 = (xf2 - mu2) * jax.lax.rsqrt(var2 + eps) * l2s[0] + l2b[0]
+    hq = _rint_i8(xn2)
+    acc1 = jax.lax.dot_general(hq, w1[0], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    h = acc1.astype(jnp.float32) * s1[0] + b1[0]
+    h = _apply_act_scaled(h, act, qah)
+    gq = _rint_i8(h)
+    acc2 = jax.lax.dot_general(gq, w2[0], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    y2 = acc2.astype(jnp.float32) * s2[0] + b2[0]
+    return xa + y2.astype(x.dtype)
+
+
+def _stack_int8_static_kernel(x_ref, qao_ref, qah_ref, l1s, l1b, wqkv,
+                              sqkv, bqkv, wo, so, bo, l2s, l2b, w1, s1,
+                              b1, w2, s2, b2, o_ref, tok, qkv_s, sc, ao,
+                              *, eps: float, scale: float, n_valid: int,
+                              n_pad: int, kv_pad: int, n_heads: int,
+                              dh: int, batch: int, depth: int, act: str,
+                              pairs: bool = False):
+    i = pl.program_id(0)
+    d = n_heads * dh
+
+    @pl.when(i == 0)
+    def _():
+        tok[:] = x_ref[:].reshape(batch * n_pad, d)
+
+    out = _layer_math_int8_static(
+        tok[:], qao_ref[0, 0], qah_ref[0, 0], l1s, l1b, wqkv, sqkv, bqkv,
+        wo, so, bo, l2s, l2b, w1, s1, b1, w2, s2, b2, qkv_s, sc, ao,
+        eps=eps, scale=scale, n_valid=n_valid, n_pad=n_pad, kv_pad=kv_pad,
+        n_heads=n_heads, dh=dh, batch=batch, act=act, pairs=pairs)
+    tok[:] = out
+
+    @pl.when(i == depth - 1)
+    def _():
+        o_ref[:] = out.reshape(batch, n_pad, d)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "act",
+                                             "n_valid", "interpret"))
+def vit_layers_int8_static_pallas(x, qblocks, num_heads: int,
+                                  eps: float = 1e-6,
+                                  act: str = "gelu_tanh",
+                                  n_valid: int | None = None,
+                                  interpret: bool = False):
+    """Static-scale int8 layers-on-grid encoder: ``qblocks`` is the
+    quantize_vit_static blocks dict (pre-folded scales + per-layer
+    inv_ao/inv_ah).  Returns pre-final-LN tokens."""
+    b, n, d = x.shape
+    depth = qblocks["wqkv_q"].shape[0]
+    m = qblocks["w1_q"].shape[2]
+    dh = d // num_heads
+    if n_valid is None:
+        n_valid = n
+    sub = pad_sublane(x.dtype)
+    n_pad = round_up(n, sub)
+    kv_pad = round_up(n, LANE)
+    if n_pad != n:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    def per_layer(*tr):
+        return pl.BlockSpec((1,) + tr,
+                            lambda i: (i,) + tuple(0 for _ in tr),
+                            memory_space=pltpu.VMEM)
+
+    smem_layer = pl.BlockSpec((1, 1), lambda i: (i, 0),
+                              memory_space=pltpu.SMEM)
+
+    def vec(a):
+        return a.reshape(a.shape[0], 1, a.shape[1]).astype(jnp.float32)
+
+    dt = x.dtype
+    out = pl.pallas_call(
+        functools.partial(_stack_int8_static_kernel, eps=eps,
+                          scale=1.0 / (dh ** 0.5),
+                          n_valid=min(n_valid, n), n_pad=n_pad,
+                          kv_pad=kv_pad, n_heads=num_heads, dh=dh,
+                          # pairs stay off: see vit_layers_int8_pallas
+                          batch=b, depth=depth, act=act, pairs=False),
+        grid=(depth,),
+        in_specs=[const((b, n_pad, d)),
+                  smem_layer, smem_layer,
+                  per_layer(1, d), per_layer(1, d),
+                  per_layer(d, 3 * d), per_layer(1, 3 * d),
+                  per_layer(1, 3 * d),
+                  per_layer(d, d), per_layer(1, d), per_layer(1, d),
+                  per_layer(1, d), per_layer(1, d),
+                  per_layer(d, m), per_layer(1, m), per_layer(1, m),
+                  per_layer(m, d), per_layer(1, d), per_layer(1, d)],
+        out_specs=const((b, n_pad, d)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), dt),
+        scratch_shapes=[
+            pltpu.VMEM((b * n_pad, d), dt),
+            pltpu.VMEM((b, kv_pad, 3 * d), dt),
+            pltpu.VMEM((num_heads, n_pad, kv_pad), jnp.float32),
+            pltpu.VMEM((b * n_pad, d), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x,
+      qblocks["inv_ao"].astype(jnp.float32),
+      qblocks["inv_ah"].astype(jnp.float32),
+      vec(qblocks["ln1_scale"]), vec(qblocks["ln1_bias"]),
+      qblocks["wqkv_q"], vec(qblocks["wqkv_s"]), vec(qblocks["bqkv"]),
+      qblocks["wo_q"], vec(qblocks["wo_s"]), vec(qblocks["bo"]),
+      vec(qblocks["ln2_scale"]), vec(qblocks["ln2_bias"]),
+      qblocks["w1_q"], vec(qblocks["w1_s"]), vec(qblocks["b1"]),
+      qblocks["w2_q"], vec(qblocks["w2_s"]), vec(qblocks["b2"]))
+    return out[:, :n, :]
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "act",
                                              "n_valid", "interpret"))
 def vit_layers_int8_pallas(x, qblocks, num_heads: int, eps: float = 1e-6,

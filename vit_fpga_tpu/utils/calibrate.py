@@ -149,3 +149,113 @@ def calibrated_config(params: Dict[str, Any], cfg,
     call after importing any new checkpoint (utils/checkpoint.py)."""
     res = choose_softmax_mode(params, cfg, images, margin)
     return dataclasses.replace(cfg, safe_softmax=res.safe)
+
+
+# ---------------------------------------------------------------------------
+# Static-scale int8 calibration (round 5): per-tensor-per-layer activation
+# absmax for the calibrated fixed-point datapath — the reference's
+# quantized range is static (/root/reference/def/defines.h:11-12), and the
+# dynamic int8 kernels' measured bound is per-row quant VPU work
+# (docs/perf.md).  models/quantized.quantize_vit_static folds these
+# scales into the kernel arguments.
+# ---------------------------------------------------------------------------
+
+
+def activation_absmax_stats(params: Dict[str, Any], images: jax.Array,
+                            cfg) -> Dict[str, np.ndarray]:
+    """Per-layer absmax of the four quantized activations over the
+    calibration batch, exact XLA math (any backend):
+
+      a_x1  post-LN1 tokens  (QKV projection input)
+      a_ao  attention output (out-projection input)
+      a_x2  post-LN2 tokens  (MLP up-projection input)
+      a_h   post-activation MLP hidden (down-projection input)
+
+    ``images`` are normalized model inputs (B, S, S, 3); for CLIP-layout
+    params the ln_pre stage is applied first (models/clip.py).
+    """
+    from ..models import vit
+    from ..ops.attention import mha_qkv_xla
+    from ..ops.fused_mlp import fused_mlp_xla
+
+    dt = cfg.compute_dtype
+    d = cfg.hidden_dim
+    nh = cfg.num_heads
+    act = cfg.hidden_act
+    if act == "gelu" and dt == jnp.bfloat16:
+        act = "gelu_tanh"
+    is_clip = "ln_pre_scale" in params
+
+    def _ln(x, s, b):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        return (xf - mu) * jax.lax.rsqrt(var + cfg.ln_eps) * s + b
+
+    def _act_f(h):
+        if act in ("gelu", "gelu_tanh"):
+            return jax.nn.gelu(h, approximate=True)
+        if act == "quick_gelu":
+            return h * jax.nn.sigmoid(1.702 * h)
+        if act == "relu":
+            return jnp.maximum(h, 0.0)
+        raise ValueError(act)
+
+    @jax.jit
+    def probe(params, images):
+        x = vit.patchify(images.astype(dt), cfg.patch_size)
+        x = x @ params["patch_embed"]["kernel"].astype(dt)
+        x = x + params["patch_embed"]["bias"].astype(dt)
+        b = x.shape[0]
+        cls = jnp.broadcast_to(params["cls_token"].astype(dt),
+                               (b, cfg.num_prefix_tokens, d))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + params["pos_embed"].astype(dt)
+        if is_clip:
+            x = _ln(x, params["ln_pre_scale"],
+                    params["ln_pre_bias"]).astype(dt)
+
+        n = x.shape[1]
+        stats = {"a_x1": [], "a_ao": [], "a_x2": [], "a_h": []}
+        for i in range(cfg.depth):
+            blk = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+            xn1 = _ln(x, blk["ln1_scale"], blk["ln1_bias"])
+            stats["a_x1"].append(jnp.max(jnp.abs(xn1)))
+            qkv = (jnp.dot(xn1.astype(dt), blk["wqkv"].astype(dt),
+                           preferred_element_type=jnp.float32)
+                   + blk["bqkv"]).astype(dt)
+            o = mha_qkv_xla(qkv, nh).astype(jnp.float32)
+            stats["a_ao"].append(jnp.max(jnp.abs(o)))
+            x = x + (jnp.dot(o.astype(dt), blk["wo"].astype(dt),
+                             preferred_element_type=jnp.float32)
+                     + blk["bo"]).astype(dt)
+            xn2 = _ln(x, blk["ln2_scale"], blk["ln2_bias"])
+            stats["a_x2"].append(jnp.max(jnp.abs(xn2)))
+            h = (jnp.dot(xn2.astype(dt), blk["w1"].astype(dt),
+                         preferred_element_type=jnp.float32) + blk["b1"])
+            h = _act_f(h)
+            stats["a_h"].append(jnp.max(jnp.abs(h)))
+            x = x + (jnp.dot(h.astype(dt), blk["w2"].astype(dt),
+                             preferred_element_type=jnp.float32)
+                     + blk["b2"]).astype(dt)
+            # keep the trajectory exact: recompute the halves with the
+            # reference blocks (the loop above IS the reference math)
+        return {k: jnp.stack(v) for k, v in stats.items()}
+
+    with jax.default_matmul_precision(
+            "float32" if cfg.dtype == "float32" else "default"):
+        out = probe(params, images)
+    return {k: np.asarray(v, np.float32) for k, v in out.items()}
+
+
+def static_activation_scales(params: Dict[str, Any], cfg,
+                             images: Optional[jax.Array] = None,
+                             margin: float = 1.0
+                             ) -> Dict[str, np.ndarray]:
+    """Calibrated per-layer activation quant scales a = absmax * margin
+    (each quantized tensor maps [-a, a] onto [-127, 127]; values beyond
+    a saturate).  ``margin > 1`` trades resolution for headroom."""
+    if images is None:
+        images = _synthetic_batch(cfg)
+    stats = activation_absmax_stats(params, images, cfg)
+    return {k: np.maximum(v * margin, 1e-12) for k, v in stats.items()}
