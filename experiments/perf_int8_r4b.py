@@ -44,11 +44,16 @@ def run(label, fwd):
 print("device:", jax.devices())
 fwd_a = jax.jit(functools.partial(quantized.vit_forward_int8_fast, cfg=cfg))
 out_a = fwd_a(qparams, images)
-t_a = run("A production int8 (block_t=256)", fwd_a)
+t_a = run("A production int8 (adaptive block_t)", fwd_a)
 
-orig_mlp = quant_block.mlp_block_int8
+# Monkeypatch the TILE PICKER, not the kernel: _qblock_fast passes
+# block_t=mlp_block_t(...) explicitly at call time, which would override
+# a functools.partial bound on mlp_block_int8 and silently compare the
+# adaptive tile against itself (ADVICE r4 — the original partial-binding
+# version of this sweep went inert once the picker landed).
+orig_pick = quant_block.mlp_block_t
 for bt in (384, 512, 640, 768):
-    quant_block.mlp_block_int8 = functools.partial(orig_mlp, block_t=bt)
+    quant_block.mlp_block_t = lambda *a, **k: bt  # noqa: B023
     jax.clear_caches()
     fwd_v = jax.jit(lambda p, im: quantized.vit_forward_int8_fast(p, im,
                                                                   cfg))
@@ -61,4 +66,4 @@ for bt in (384, 512, 640, 768):
         raise
     except Exception as e:  # noqa: BLE001
         print(f"block_t={bt}: FAILED {type(e).__name__}: {str(e)[:120]}")
-quant_block.mlp_block_int8 = orig_mlp
+quant_block.mlp_block_t = orig_pick

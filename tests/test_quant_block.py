@@ -104,3 +104,16 @@ def test_int8_latency_stack_matches_fast_path():
         interpret=True), np.float32)
     scale = np.abs(ref).max() + 1e-6
     assert np.abs(got - ref).max() / scale < 0.03
+
+
+def test_mlp_block_t_tiering_pinned():
+    """The adaptive int8 MLP row-tile keeps its MEASURED decisions
+    (ADVICE r4): 640 at ViT-B b64 geometry, 256 at batch-1 row counts
+    and at CLIP-L/ViT-L weight footprints, and conservative fallback at
+    untested mid geometries near the VMEM cutoff."""
+    from vit_fpga_tpu.ops.quant_block import mlp_block_t
+    assert mlp_block_t(12800, 768, 3072) == 640     # ViT-B b64 (200*64)
+    assert mlp_block_t(200, 768, 3072) == 256       # ViT-B batch-1
+    assert mlp_block_t(67584, 1024, 4096) == 256    # CLIP-L b256 (264*256)
+    assert mlp_block_t(9248, 1024, 4096) == 256     # ViT-L@384 b16
+    assert mlp_block_t(12800, 896, 3584) == 256     # untested mid geometry

@@ -356,3 +356,106 @@ def test_serving_full_batch_dispatches_while_device_busy():
     finally:
         release.set()
         server.close()
+
+
+# ---------------------------------------------------------------------------
+# Work-conserving hold vs per-request latency contracts (ADVICE r4): the
+# hold must not disable timeout_ms deadlines or priority, and expired
+# riders fail instead of being served stale.
+# ---------------------------------------------------------------------------
+
+def _busy_device_server(**kw):
+    """Server whose FIRST batch stays in flight until release is set."""
+    import threading
+
+    release = threading.Event()
+    calls = []
+
+    class Lazy:
+        def __array__(self, dtype=None, copy=None):
+            assert release.wait(10.0), "test device never released"
+            return np.zeros((4, 8), np.float32)
+
+    def fwd(batch):
+        calls.append(np.asarray(batch).copy())
+        return Lazy() if len(calls) == 1 else np.zeros((4, 8), np.float32)
+
+    server = ImageServer(fwd, image_size=8, batch_size=4, **kw)
+    return server, release, calls
+
+
+def test_serving_held_deadline_flushes_before_expiry():
+    """A held rider WITH a deadline is dispatched in time even while the
+    device is busy — the work-conserving hold yields to the rider's own
+    latency contract (ADVICE r4: deadlines were never re-checked)."""
+    import time as _time
+
+    server, release, calls = _busy_device_server(flush_ms=5.0,
+                                                 decode_workers=2)
+    img = np.full((8, 8, 3), 7, np.uint8)
+    try:
+        f1 = server.submit_raw(img)           # flushes idle -> device busy
+        deadline = _time.monotonic() + 5.0
+        while len(calls) < 1 and _time.monotonic() < deadline:
+            _time.sleep(0.005)
+        assert len(calls) == 1
+        # rider with a 300 ms budget: without the fix it would be held
+        # until the device drains (release), i.e. indefinitely here
+        f2 = server.submit_raw(img, timeout_ms=300.0)
+        deadline = _time.monotonic() + 5.0
+        while len(calls) < 2 and _time.monotonic() < deadline:
+            _time.sleep(0.005)
+        assert len(calls) == 2, "held rider's deadline did not flush"
+        release.set()
+        f1.result(timeout=10)
+        f2.result(timeout=10)
+    finally:
+        release.set()
+        server.close()
+
+
+def test_serving_priority_not_held_by_busy_device():
+    """A priority-lane rider caps the work-conserving hold at flush_ms —
+    priority means latency-sensitive (ADVICE r4)."""
+    import time as _time
+
+    server, release, calls = _busy_device_server(flush_ms=5.0,
+                                                 decode_workers=2)
+    img = np.full((8, 8, 3), 7, np.uint8)
+    try:
+        f1 = server.submit_raw(img)
+        deadline = _time.monotonic() + 5.0
+        while len(calls) < 1 and _time.monotonic() < deadline:
+            _time.sleep(0.005)
+        f2 = server.submit_raw(img, priority=True)
+        deadline = _time.monotonic() + 5.0
+        while len(calls) < 2 and _time.monotonic() < deadline:
+            _time.sleep(0.005)
+        assert len(calls) == 2, "priority rider held past flush_ms"
+        release.set()
+        f1.result(timeout=10)
+        f2.result(timeout=10)
+    finally:
+        release.set()
+        server.close()
+
+
+def test_serving_rider_deadline_shortens_idle_fill():
+    """With the device IDLE and a long flush window, a rider's shorter
+    deadline pulls the flush forward so it is served, not expired."""
+    import time as _time
+
+    calls = []
+
+    def fwd(batch):
+        calls.append(len(calls))
+        return np.zeros((4, 8), np.float32)
+
+    img = np.full((8, 8, 3), 7, np.uint8)
+    with ImageServer(fwd, image_size=8, batch_size=4, flush_ms=2000.0,
+                     decode_workers=2) as server:
+        t0 = _time.monotonic()
+        fut = server.submit_raw(img, timeout_ms=300.0)
+        out = fut.result(timeout=10)   # must not expire or wait 2 s
+        assert out.shape == (8,)
+        assert _time.monotonic() - t0 < 1.5, "rider waited the long flush"

@@ -100,18 +100,24 @@ def _mlp_int8_kernel(x_ref, ls_ref, lb_ref, w1_ref, s1_ref, b1_ref,
     o_ref[:] = x + y.astype(x.dtype)
 
 
-def mlp_block_t(t: int, d: int, m: int, budget: int = 14 << 20) -> int:
+def mlp_block_t(t: int, d: int, m: int, budget: int = 17 << 20) -> int:
     """Pick the int8 MLP row-tile for T=t total rows.
 
     Measured at ViT-B b64 (12800 rows): 640 beats 256 by 2-4% 4/4
     rounds, 512 by ~2%, 384/768 lose, 1024 VMEM-OOMs
     (experiments/perf_int8_r4b.py, perf_int8_r4c.py — all bit-exact;
-    row-tiling is exact because LN and row-quant are per-row).  Scoped
-    VMEM is ~2*d*m weight bytes + block_t*m*4 hidden-tile bytes, so the
-    bigger tiles only engage where they fit AND pad <=2% of rows —
-    batch-1 (200 rows) and CLIP-L (2*d*m alone is 8.4 MB) keep 256."""
+    row-tiling is exact because LN and row-quant are per-row).  The
+    scoped-VMEM model counts the full per-tile footprint (ADVICE r4):
+    2*d*m int8 weight bytes + 4*bt*m f32 hidden tile + bt*m int8 hq +
+    bt*d*(2+2+1) x/out bf16 + xq int8; the 17 MB budget keeps every
+    MEASURED decision (640 at ViT-B b64 = 16.3 MiB passes; CLIP-L's
+    8.4 MB weights push 512 to 21.5 MB, so it keeps 256) while an
+    untested mid geometry near the cutoff (e.g. d=896/m=3584 at 512 =
+    17.9 MB) now falls back to 256 instead of gambling on compile-time
+    OOM.  Bigger tiles also need pad <=2% of rows — batch-1 (200 rows)
+    keeps 256.  Tiering pinned by tests/test_quant_block.py."""
     for bt in (640, 512):
-        if 2 * d * m + bt * m * 4 > budget:
+        if 2 * d * m + bt * (5 * m + 5 * d) > budget:
             continue
         if round_up(t, bt) - t <= t // 50:
             return bt

@@ -70,9 +70,12 @@ class ImageServer:
         self._dispatched: "queue.Queue" = queue.Queue(maxsize=max_inflight)
         # dispatched-but-unmaterialized batches (device pipeline depth);
         # distinct from _dispatched.qsize(): the completer pops a batch
-        # BEFORE blocking on its fetch, so qsize()==0 does not mean idle
+        # BEFORE blocking on its fetch, so qsize()==0 does not mean idle.
+        # Guarded by a Condition: the batcher's work-conserving hold waits
+        # on it instead of polling — the completer notifies on every
+        # in-flight decrement and _enqueue on every new submit (ADVICE r4).
         self._inflight = 0
-        self._inflight_lock = threading.Lock()
+        self._idle_cv = threading.Condition()
         self._stop = threading.Event()
         self._closed = threading.Event()   # rejects new submits during drain
         self.served = 0
@@ -131,6 +134,9 @@ class ImageServer:
                 return
             try:
                 self._pending.put(entry, timeout=0.05)
+                # wake a batcher parked in the work-conserving hold
+                with self._idle_cv:
+                    self._idle_cv.notify_all()
                 return
             except queue.Full:
                 continue
@@ -180,11 +186,11 @@ class ImageServer:
     def _batch_loop(self) -> None:
         import jax.numpy as jnp
         while not self._stop.is_set():
-            items = []
+            items = []   # held entries: (img, fut, t0, dl, lane)
 
             def take(entry):
                 # drop cancelled / queue-expired requests at pickup
-                _, _, img, fut, t0, dl = entry
+                lane, _, img, fut, t0, dl = entry
                 if fut.cancelled():
                     return
                 if dl is not None and time.monotonic() > dl:
@@ -192,7 +198,32 @@ class ImageServer:
                         fut.set_exception(TimeoutError(
                             "request expired in queue"))
                     return
-                items.append((img, fut, t0))
+                items.append((img, fut, t0, dl, lane))
+
+            def prune_expired(now):
+                # held requests keep their deadlines: fail-and-drop any
+                # that expired while the partial batch waited (ADVICE r4 —
+                # being taken into a batch must not disable timeout_ms)
+                kept = []
+                for it in items:
+                    dl = it[3]
+                    if dl is not None and now > dl:
+                        if not it[1].done() and not it[1].cancelled():
+                            it[1].set_exception(TimeoutError(
+                                "request expired awaiting batch fill"))
+                    else:
+                        kept.append(it)
+                items[:] = kept
+
+            def hold_at_risk(now):
+                # flush while the batch can still make its riders' own
+                # deadlines (margin: one flush quantum), and don't extend
+                # the hold past flush_ms for priority-lane requests —
+                # priority means latency-sensitive (ADVICE r4)
+                return any(lane == 0
+                           or (dl is not None
+                               and dl - now <= self._flush_s)
+                           for _, _, _, dl, lane in items)
 
             try:
                 take(self._pending.get(timeout=0.05))
@@ -207,16 +238,45 @@ class ImageServer:
             # time on a fraction of a batch (measured: a cold saturating
             # CLIP-L b256 burst served 525-624 img/s against a 1012 img/s
             # device rate with the unconditional 5 ms flush —
-            # experiments/perf_serving_stub.py).
+            # experiments/perf_serving_stub.py).  The hold is bounded by
+            # each rider's OWN latency contract, not an arbitrary cap:
+            # deadline/priority requests flush on time (hold_at_risk),
+            # and deadline-less normal-lane requests opted into
+            # fill-waiting by giving no timeout_ms.
             deadline = time.monotonic() + self._flush_s
             while len(items) < self._batch and not self._stop.is_set():
-                remaining = deadline - time.monotonic()
-                if remaining <= 0 and self._device_idle():
-                    break   # past flush deadline AND device drained
+                now = time.monotonic()
+                prune_expired(now)
+                # a held rider's own deadline shortens the fill window:
+                # flush one quantum ahead of the earliest dl so the batch
+                # dispatches while the rider can still make it
+                dls = [dl for _, _, _, dl, _ in items if dl is not None]
+                eff = (min(deadline, min(dls) - self._flush_s) if dls
+                       else deadline)
+                remaining = eff - now
+                if remaining <= 0:
+                    if (self._device_idle() or not items
+                            or hold_at_risk(now)):
+                        break   # flush (or re-seed when all riders expired)
+                    # device busy, riders safe: park until the completer
+                    # signals an in-flight decrement or a submit arrives
+                    # (no 2 ms spin — ADVICE r4); bound the wait with the
+                    # nearest rider risk-point for deadline re-checks
+                    risk = min((dl - self._flush_s - now
+                                for _, _, _, dl, _ in items
+                                if dl is not None), default=0.05)
+                    try:
+                        take(self._pending.get_nowait())
+                        continue
+                    except queue.Empty:
+                        pass
+                    with self._idle_cv:
+                        if self._inflight > 0:
+                            self._idle_cv.wait(
+                                timeout=max(0.001, min(0.05, risk)))
+                    continue
                 try:
-                    take(self._pending.get(
-                        timeout=min(remaining, 0.002) if remaining > 0
-                        else 0.002))
+                    take(self._pending.get(timeout=remaining))
                 except queue.Empty:
                     continue   # re-check deadline / device-idle state
             if not items:
@@ -224,22 +284,23 @@ class ImageServer:
             n = len(items)
             batch = np.zeros((self._batch, self._size, self._size, 3),
                              np.uint8)
-            for i, (img, _, _) in enumerate(items):
+            for i, (img, *_rest) in enumerate(items):
                 batch[i] = img
             try:
                 out = self._fwd(jnp.asarray(batch))  # async dispatch
             except Exception as e:  # fail the batch, keep serving
-                for _, fut, _ in items:
+                for _, fut, *_rest in items:
                     if not fut.cancelled():
                         fut.set_exception(e)
                 continue
-            with self._inflight_lock:
+            with self._idle_cv:
                 self._inflight += 1
-            self._dispatched.put((out, [(f, t0) for _, f, t0 in items], n))
+            self._dispatched.put(
+                (out, [(f, t0) for _, f, t0, _, _ in items], n))
             self.batches += 1
 
     def _device_idle(self) -> bool:
-        with self._inflight_lock:
+        with self._idle_cv:
             return self._inflight == 0
 
     def _complete_loop(self) -> None:
@@ -261,8 +322,9 @@ class ImageServer:
                         fut.set_exception(e)
                 continue
             finally:   # device done (or dead) either way: no longer busy
-                with self._inflight_lock:
+                with self._idle_cv:
                     self._inflight -= 1
+                    self._idle_cv.notify_all()
             done = time.monotonic()
             for i, (fut, t0) in enumerate(futs):
                 if not fut.cancelled():
