@@ -129,9 +129,17 @@ def cmd_serve(opts: Options) -> int:
         cfg = autocalibrated(params, cfg, source=f"ckpt {ckpt}")
     if dtype == "int8":
         from .models import quantized
-        quant = (quantized.quantize_clip_vision_fast if is_clip
-                 else quantized.quantize_vit_fast)
-        params = jax.device_put(quant(params))
+        # quant=static serves the calibrated static-scale datapath (the
+        # reference-faithful fixed-point mode); calibration runs on a
+        # synthetic probe batch unless the checkpoint ships real inputs
+        if opts.get("quant", str, "dynamic") == "static":
+            quant = (quantized.quantize_clip_vision_static if is_clip
+                     else quantized.quantize_vit_static)
+            params = jax.device_put(quant(params, cfg))
+        else:
+            quant = (quantized.quantize_clip_vision_fast if is_clip
+                     else quantized.quantize_vit_fast)
+            params = jax.device_put(quant(params))
         jfwd = quantized.jit_forward_int8(cfg, raw=True, clip=is_clip)
     elif is_clip:
         params = jax.device_put(params)
