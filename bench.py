@@ -60,8 +60,12 @@ def main(argv):
         result["extras"] = {}
         for key, extra_argv in (
             ("int8_throughput", ["dtype=int8"]),
+            ("int8_static_throughput", ["dtype=int8", "quant=static"]),
             ("bf16_latency", ["mode=latency"]),
             ("int8_latency", ["mode=latency", "dtype=int8"]),
+            ("int8_static_latency",
+             ["mode=latency", "dtype=int8", "quant=static"]),
+            ("train", ["mode=train"]),
         ):
             try:
                 result["extras"][key] = run(Options(list(extra_argv)))

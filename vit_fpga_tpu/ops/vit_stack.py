@@ -384,7 +384,7 @@ def _stack_int8_static_kernel(x_ref, qao_ref, qah_ref, l1s, l1b, wqkv,
         tok[:] = x_ref[:].reshape(batch * n_pad, d)
 
     out = _layer_math_int8_static(
-        tok[:], qao_ref[0, 0], qah_ref[0, 0], l1s, l1b, wqkv, sqkv, bqkv,
+        tok[:], qao_ref[i, 0], qah_ref[i, 0], l1s, l1b, wqkv, sqkv, bqkv,
         wo, so, bo, l2s, l2b, w1, s1, b1, w2, s2, b2, qkv_s, sc, ao,
         eps=eps, scale=scale, n_valid=n_valid, n_pad=n_pad, kv_pad=kv_pad,
         n_heads=n_heads, dh=dh, batch=batch, act=act, pairs=pairs)
@@ -425,7 +425,11 @@ def vit_layers_int8_static_pallas(x, qblocks, num_heads: int,
                             lambda i: (i,) + tuple(0 for _ in tr),
                             memory_space=pltpu.VMEM)
 
-    smem_layer = pl.BlockSpec((1, 1), lambda i: (i, 0),
+    # whole (depth, 1) scalar table stays SMEM-resident; the kernel
+    # indexes row program_id(0).  A (1, 1) per-layer block would violate
+    # the TPU lowering's block-shape rule (last two dims divisible by
+    # 8/128 or equal to the array's), which interpret mode doesn't check.
+    smem_table = pl.BlockSpec((depth, 1), lambda i: (0, 0),
                               memory_space=pltpu.SMEM)
 
     def vec(a):
@@ -441,7 +445,7 @@ def vit_layers_int8_static_pallas(x, qblocks, num_heads: int,
                           batch=b, depth=depth, act=act, pairs=False),
         grid=(depth,),
         in_specs=[const((b, n_pad, d)),
-                  smem_layer, smem_layer,
+                  smem_table, smem_table,
                   per_layer(1, d), per_layer(1, d),
                   per_layer(d, 3 * d), per_layer(1, 3 * d),
                   per_layer(1, 3 * d),
