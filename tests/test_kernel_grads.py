@@ -113,3 +113,38 @@ def test_attn_block_native_bwd_matches_vjp():
     for r, o in zip(ref, got):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    rtol=3e-4, atol=3e-5)
+
+
+def test_attn_block_native_bwd_pairs_matches_vjp():
+    """Head-PAIR-packed backward (dh=64 geometry, round 5) matches
+    jax.vjp AND the unpacked kernel: the block-diagonal packing of all
+    six score-space GEMMs must be exact (zero-masked panels kill the
+    cross-head terms; lane-masked selects discard the dv/dk garbage
+    blocks)."""
+    from vit_fpga_tpu.ops import attn_block as ab
+    rng = np.random.default_rng(7)
+    B, N, D, H = 2, 13, 128, 2          # dh = 64, even heads
+    x = _rand(rng, B, N, D, s=0.3)
+    ls = _rand(rng, D, s=0.1) + 1.0
+    lb = _rand(rng, D, s=0.1)
+    wq = _rand(rng, D, 3 * D, s=0.2)
+    bq = _rand(rng, 3 * D, s=0.2)
+    wo = _rand(rng, D, D, s=0.2)
+    bo = _rand(rng, D, s=0.2)
+    g = _rand(rng, B, N, D, s=0.3)
+    _, vjp = jax.vjp(lambda *a: ab.attn_block_xla(*a, num_heads=H),
+                     x, ls, lb, wq, bq, wo, bo)
+    ref = vjp(g)
+    got = ab.attn_block_bwd_pallas(x, ls, lb, wq, bq, wo, g, H,
+                                   pairs=True, interpret=True)
+    for r, o in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=3e-4, atol=3e-5)
+    # packed vs unpacked: same math up to f32 rounding (the packed path
+    # multiplies by reciprocal where the unpacked divides, and the
+    # accumulation order differs) — not bit-identical
+    base = ab.attn_block_bwd_pallas(x, ls, lb, wq, bq, wo, g, H,
+                                    pairs=False, interpret=True)
+    for b_, o in zip(base, got):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-5)

@@ -660,7 +660,8 @@ def _attn_bwd_kernel(x_ref, g_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
                      wo_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref,
                      dbo_ref, dls_ref, dlb_ref, qkv_ref, dqkv_ref, ao_ref,
                      *, eps: float, scale: float, n_valid: int,
-                     n_pad: int, kv_pad: int, n_heads: int, dh: int):
+                     n_pad: int, kv_pad: int, n_heads: int, dh: int,
+                     pairs: bool = False):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -696,41 +697,113 @@ def _attn_bwd_kernel(x_ref, g_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
                              preferred_element_type=jnp.float32)  # (n, d)
     gwc = gw.astype(x.dtype)
 
-    for h in range(n_heads):
-        q = qkv_ref[:n_pad, h * dh:(h + 1) * dh]
-        k = qkv_ref[:, d + h * dh:d + (h + 1) * dh]
-        v = qkv_ref[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+    if pairs:
+        # Head-PAIR-packed score-space backward (round 5): the forward's
+        # block-diagonal packing (_mha_loop pairs=True) propagated to
+        # ALL SIX score-space GEMMs of the gradient chain — at dh=64
+        # every per-head contraction (QK^T, PV, dv, dP, dq, dk) runs
+        # half the MXU lanes; packing two heads block-diagonally makes
+        # each slice 128-lane aligned and halves GEMM count.  dv/dk
+        # come out with cross-head garbage blocks that one lane-masked
+        # select discards; dP/dq are exact because the zero-masked
+        # panels kill the cross terms.
+        dw = 2 * dh
+        lanei = jax.lax.broadcasted_iota(jnp.int32, (kv_pad, dw), 1) // dh
+        lane_kv = jax.lax.broadcasted_iota(
+            jnp.int32, (n_pad, 2 * kv_pad), 1) < kv_pad
         if n_valid < kv_pad:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < n_valid, s, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)      # (n_pad, kv) f32
-        pc = p.astype(x.dtype)
+            col2 = jax.lax.broadcasted_iota(
+                jnp.int32, (n_pad, 2 * kv_pad), 1) % kv_pad
+            colv = col2 < n_valid
+        else:
+            colv = None
+        for h in range(0, n_heads, 2):
+            q2 = qkv_ref[:n_pad, h * dh:(h + 2) * dh]
+            ks = qkv_ref[:, d + h * dh:d + (h + 2) * dh]
+            kbd = jnp.concatenate([jnp.where(lanei == 0, ks, 0),
+                                   jnp.where(lanei == 1, ks, 0)], axis=0)
+            s = jax.lax.dot_general(
+                q2, kbd, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if colv is not None:
+                s = jnp.where(colv, s, _NEG_INF)
+            m0 = jnp.max(s[:, :kv_pad], axis=-1, keepdims=True)
+            m1 = jnp.max(s[:, kv_pad:], axis=-1, keepdims=True)
+            e = jnp.exp(s - jnp.where(lane_kv, m0, m1))
+            r0 = jax.lax.reciprocal(
+                jnp.sum(e[:, :kv_pad], axis=-1, keepdims=True))
+            r1 = jax.lax.reciprocal(
+                jnp.sum(e[:, kv_pad:], axis=-1, keepdims=True))
+            p = e * jnp.where(lane_kv, r0, r1)      # (n_pad, 2*kv) f32
+            pc = p.astype(x.dtype)
 
-        gw_h = gwc[:, h * dh:(h + 1) * dh]              # (n_pad, dh)
-        # ao for dWo accumulation
-        ao_ref[:, h * dh:(h + 1) * dh] = jnp.dot(
-            pc, v, preferred_element_type=jnp.float32).astype(x.dtype)
-        # dv = p^T @ dao
-        dv = jax.lax.dot_general(pc, gw_h, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        # dP = dao @ v^T
-        dp = jax.lax.dot_general(gw_h, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        # softmax backward: dS = p * (dP - rowsum(dP * p)), then * scale
-        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-              * scale).astype(x.dtype)
-        # dq = dS @ k ; dk = dS^T @ q
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dqkv_ref[:n_pad, h * dh:(h + 1) * dh] = dq.astype(x.dtype)
-        dqkv_ref[:, d + h * dh:d + (h + 1) * dh] = dk.astype(x.dtype)
-        dqkv_ref[:, 2 * d + h * dh:2 * d + (h + 1) * dh] = dv.astype(
-            x.dtype)
+            vs = qkv_ref[:, 2 * d + h * dh:2 * d + (h + 2) * dh]
+            vbd = jnp.concatenate([jnp.where(lanei == 0, vs, 0),
+                                   jnp.where(lanei == 1, vs, 0)], axis=0)
+            gw2 = gwc[:, h * dh:(h + 2) * dh]       # (n_pad, 2*dh)
+            ao_ref[:, h * dh:(h + 2) * dh] = jnp.dot(
+                pc, vbd, preferred_element_type=jnp.float32).astype(
+                    x.dtype)
+            # dv: block rows of p^T @ gw2; keep the block-diag lanes
+            dv2 = jax.lax.dot_general(pc, gw2, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dqkv_ref[:, 2 * d + h * dh:2 * d + (h + 2) * dh] = jnp.where(
+                lanei == 0, dv2[:kv_pad], dv2[kv_pad:]).astype(x.dtype)
+            # dP: exact — vbd's zero lanes kill the cross-head terms
+            dp = jax.lax.dot_general(gw2, vbd, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            rs0 = jnp.sum(dp[:, :kv_pad] * p[:, :kv_pad], axis=-1,
+                          keepdims=True)
+            rs1 = jnp.sum(dp[:, kv_pad:] * p[:, kv_pad:], axis=-1,
+                          keepdims=True)
+            ds = (p * (dp - jnp.where(lane_kv, rs0, rs1))
+                  * scale).astype(x.dtype)
+            # dq: exact — kbd's zero lanes kill the cross terms
+            dqkv_ref[:n_pad, h * dh:(h + 2) * dh] = jnp.dot(
+                ds, kbd, preferred_element_type=jnp.float32).astype(
+                    x.dtype)
+            # dk: block rows of dS^T @ q2; keep the block-diag lanes
+            dk2 = jax.lax.dot_general(ds, q2, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dqkv_ref[:, d + h * dh:d + (h + 2) * dh] = jnp.where(
+                lanei == 0, dk2[:kv_pad], dk2[kv_pad:]).astype(x.dtype)
+    else:
+        for h in range(n_heads):
+            q = qkv_ref[:n_pad, h * dh:(h + 1) * dh]
+            k = qkv_ref[:, d + h * dh:d + (h + 1) * dh]
+            v = qkv_ref[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if n_valid < kv_pad:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n_valid, s, _NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)  # (n_pad, kv) f32
+            pc = p.astype(x.dtype)
+
+            gw_h = gwc[:, h * dh:(h + 1) * dh]          # (n_pad, dh)
+            # ao for dWo accumulation
+            ao_ref[:, h * dh:(h + 1) * dh] = jnp.dot(
+                pc, v, preferred_element_type=jnp.float32).astype(x.dtype)
+            # dv = p^T @ dao
+            dv = jax.lax.dot_general(pc, gw_h, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            # dP = dao @ v^T
+            dp = jax.lax.dot_general(gw_h, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            # softmax backward: dS = p * (dP - rowsum(dP * p)), * scale
+            ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                  * scale).astype(x.dtype)
+            # dq = dS @ k ; dk = dS^T @ q
+            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dqkv_ref[:n_pad, h * dh:(h + 1) * dh] = dq.astype(x.dtype)
+            dqkv_ref[:, d + h * dh:d + (h + 1) * dh] = dk.astype(x.dtype)
+            dqkv_ref[:, 2 * d + h * dh:2 * d + (h + 1) * dh] = dv.astype(
+                x.dtype)
 
     # out-projection grads
     dwo_ref[:] += jax.lax.dot_general(ao_ref[:], g,
@@ -758,16 +831,21 @@ def _attn_bwd_kernel(x_ref, g_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "n_valid",
-                                             "interpret"))
+                                             "pairs", "interpret"))
 def attn_block_bwd_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, g,
                           num_heads: int, eps: float = 1e-6,
                           n_valid: int | None = None,
+                          pairs: bool | None = None,
                           interpret: bool = False):
     """Backward of the attention half: returns
     (dx, dls, dlb, dwqkv, dbqkv, dwo, dbo).  ``g`` is the output
-    cotangent (B, N, D); weight grads are f32."""
+    cotangent (B, N, D); weight grads are f32.  ``pairs`` head-pair-packs
+    the six score-space GEMMs (None = auto: on at dh==64 with an even
+    head count, the geometry the forward packing measured wins at)."""
     b, n, d = x.shape
     dh = d // num_heads
+    if pairs is None:
+        pairs = dh == 64 and num_heads % 2 == 0
     if n_valid is None:
         n_valid = n
     n_pad = round_up(n, _sublane(x.dtype))
@@ -785,7 +863,8 @@ def attn_block_bwd_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, g,
         functools.partial(_attn_bwd_kernel, eps=eps,
                           scale=1.0 / (dh ** 0.5),
                           n_valid=min(n_valid, n), n_pad=n_pad,
-                          kv_pad=kv_pad, n_heads=num_heads, dh=dh),
+                          kv_pad=kv_pad, n_heads=num_heads, dh=dh,
+                          pairs=pairs),
         grid=(b,),
         in_specs=[tile, tile, const((1, d)), const((1, d)),
                   const((d, 3 * d)), const((1, 3 * d)), const((d, d))],
