@@ -80,6 +80,55 @@ def test_attn_block_int8_static_matches_ref():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_attn_block_int8_scores_matches_ref():
+    """int8-SCORES static kernel (interpret) == jnp ref, bit-exact.
+    Kept OFF in production (quantized._INT8_SCORES — measured loss,
+    experiments/perf_int8_scores_r5.py); the kernel and its folding
+    algebra stay pinned here as the measured record."""
+    rng = np.random.default_rng(3)
+    B, N, H, dh = 2, 13, 2, 64
+    D = H * dh
+    x = _mk(rng, (B, N, D), 1.0)
+    s_x, s_ao, s_q, s_k, s_v = 0.028, 0.012, 0.05, 0.04, 0.03
+    ls = (_mk(rng, (D,), 0.1) + 1.0) / s_x
+    lb = _mk(rng, (D,), 0.1) / s_x
+    wqkvq, wqkvs = quantize_weight_colwise(np.asarray(_mk(rng, (D, 3 * D))))
+    woq, wos = quantize_weight_colwise(np.asarray(_mk(rng, (D, D))))
+    bqkv = _mk(rng, (3 * D,), 0.2)
+    s_thirds = jnp.concatenate(
+        [jnp.full((D,), v, jnp.float32) for v in (s_q, s_k, s_v)])
+    args = (x, jnp.float32(s_q * s_k), jnp.float32(s_v / 127.0 / s_ao),
+            ls, lb, jnp.asarray(wqkvq),
+            jnp.asarray(wqkvs, jnp.float32) * s_x / s_thirds,
+            bqkv / s_thirds, jnp.asarray(woq),
+            jnp.asarray(wos, jnp.float32) * s_ao,
+            _mk(rng, (D,), 0.2), H)
+    ref = qb.attn_block_int8s_static_ref(*args)
+    out = qb.attn_block_int8_static_scores(*args, interpret=True)
+    # all integer quant steps agree; the residual is f32 epilogue
+    # rounding order (max |diff| ~5e-7 measured)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_int8_scores_e2e_cosine(monkeypatch):
+    """Forced-on int8-scores static forward holds the 0.999 cosine gate
+    at the diffuse-attention (random-init) worst case."""
+    monkeypatch.setattr(quantized, "_INT8_SCORES", True)
+    cfg = vit.ViTConfig(image_size=64, patch_size=8, hidden_dim=128,
+                        depth=4, num_heads=2, mlp_dim=256,
+                        num_classes=100, dtype="float32", attn_impl="xla")
+    params = vit.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.normal(size=(4, 64, 64, 3)), jnp.float32)
+    qp = quantized.quantize_vit_static(params, cfg)
+    assert "sc_qk" in qp["blocks"]
+    logits_q = quantized.vit_forward_int8_fast(qp, images, cfg)
+    with jax.default_matmul_precision("float32"):
+        logits_f = vit.forward(params, images, cfg)
+    assert _cos(logits_q, logits_f) >= 0.999
+
+
 def test_static_stack_matches_block_refs():
     """Batch-1 static layers-on-grid kernel == per-block static refs."""
     from vit_fpga_tpu.ops.vit_stack import vit_layers_int8_static_pallas

@@ -393,6 +393,28 @@ def _fold_static_scales(out: Params, sc, qmax: float) -> Params:
     blk["w2_s"] = blk["w2_s"].astype(jnp.float32) * col(s_h)
     blk["inv_ao"] = jnp.asarray(1.0 / s_ao, jnp.float32)[:, None]
     blk["inv_ah"] = jnp.asarray(1.0 / s_h, jnp.float32)[:, None]
+
+    # int8-SCORES keys (round 5b): static q/k/v scales let the score and
+    # PV GEMMs run on the int8 MXU with only scalar dequants — the
+    # per-row/per-column quant work that made dynamic int8 scores a
+    # measured loss (perf_attn_int8scores.py) is gone.  The qkv panel is
+    # emitted straight in the quant domain: wqkv_qs/bqkv_qs carry the
+    # per-third division by s_q/s_k/s_v on top of the a_x1-folded dequant.
+    if all(k in sc for k in ("a_q", "a_k", "a_v")):
+        s_q = (sc["a_q"] / qmax).astype(np.float32)
+        s_k = (sc["a_k"] / qmax).astype(np.float32)
+        s_v = (sc["a_v"] / qmax).astype(np.float32)
+        d3 = blk["wqkv_s"].shape[-1]
+        dm = d3 // 3
+        s_thirds = jnp.concatenate(
+            [jnp.tile(col(v), (1, dm)) for v in (s_q, s_k, s_v)], axis=1)
+        blk["wqkv_qs"] = blk["wqkv_s"] / s_thirds
+        blk["bqkv_qs"] = jnp.asarray(blk["bqkv"],
+                                     jnp.float32) / s_thirds
+        # score dequant: s_true = s_i32 * s_q * s_k (x 1/sqrt(dh) at use)
+        blk["sc_qk"] = col(s_q * s_k)
+        # PV dequant x p step (1/qmax) x 1/s_ao: ao lands in quant domain
+        blk["pv_fold"] = col(s_v / qmax / s_ao)
     out = dict(out)
     out["blocks"] = blk
     return out
@@ -409,20 +431,55 @@ def quantize_clip_vision_static(params: Params, cfg: vit_mod.ViTConfig,
     return _fold_static_scales(out, sc, QMAX)
 
 
+_INT8_SCORES = False   # measured LOSS — see _int8_scores_ok docstring
+
+
+def _int8_scores_ok(blk, cfg: vit_mod.ViTConfig) -> bool:
+    """Whether the int8-scores attention path applies: the static tree
+    carries the q/k/v panel scales AND the geometry is the pair-packed
+    dh=64 / even-head-count one the kernel requires.  The gate must be
+    a pure function of (tree keys, config) so the TPU kernel and the
+    CPU/interpret reference describe the SAME quantization function.
+
+    DISABLED by default (_INT8_SCORES): measured 4/4 LOSS at ViT-B b64
+    (attn half x12: 3.97 -> 5.47 ms; full model 7515 -> 6446 img/s,
+    experiments/perf_int8_scores_r5.py).  The premise failed at the
+    GEMM level: an operands-resident Pallas microbench of the exact
+    score/PV shapes (M=200, K=128, N=1024 per head-pair) times int8 at
+    1.02x the bf16 kernel time — the int8 MXU rate does not materialize
+    at these latency-bound shapes (experiments/perf_int8s_micro.py) —
+    so the added p-quant rint/clip and int8 relayout VPU work buys
+    nothing.  The kernels + parity tests stay as the measured record;
+    accuracy was fine (cosine 0.9995 vs f32 at the diffuse-attention
+    worst case)."""
+    return (_INT8_SCORES and "sc_qk" in blk
+            and cfg.hidden_dim // cfg.num_heads == 64
+            and cfg.num_heads % 2 == 0)
+
+
 def _qblock_static(x, blk, cfg: vit_mod.ViTConfig,
                    n_valid: int | None = None):
     """One static-scale int8 block: mega-kernels on TPU, reference
     semantics elsewhere (the CPU test mesh runs the same entry)."""
     b, n, d = x.shape
     act = "quick_gelu" if cfg.hidden_act == "quick_gelu" else "gelu_tanh"
+    int8s = _int8_scores_ok(blk, cfg)
     if jax.default_backend() == "tpu" and _int8_block_fits(cfg):
         from ..ops.quant_block import (attn_block_int8_static,
+                                       attn_block_int8_static_scores,
                                        mlp_block_int8_static, mlp_block_t)
-        x = attn_block_int8_static(
-            x, blk["inv_ao"], blk["ln1_scale"], blk["ln1_bias"],
-            blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"], blk["wo_q"],
-            blk["wo_s"], blk["bo"], cfg.num_heads, eps=cfg.ln_eps,
-            n_valid=n_valid)
+        if int8s:
+            x = attn_block_int8_static_scores(
+                x, blk["sc_qk"], blk["pv_fold"], blk["ln1_scale"],
+                blk["ln1_bias"], blk["wqkv_q"], blk["wqkv_qs"],
+                blk["bqkv_qs"], blk["wo_q"], blk["wo_s"], blk["bo"],
+                cfg.num_heads, eps=cfg.ln_eps, n_valid=n_valid)
+        else:
+            x = attn_block_int8_static(
+                x, blk["inv_ao"], blk["ln1_scale"], blk["ln1_bias"],
+                blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"], blk["wo_q"],
+                blk["wo_s"], blk["bo"], cfg.num_heads, eps=cfg.ln_eps,
+                n_valid=n_valid)
         x2 = mlp_block_int8_static(
             x.reshape(b * n, d), blk["inv_ah"], blk["ln2_scale"],
             blk["ln2_bias"], blk["w1_q"], blk["w1_s"], blk["b1"],
@@ -430,12 +487,20 @@ def _qblock_static(x, blk, cfg: vit_mod.ViTConfig,
             block_t=mlp_block_t(b * n, d, cfg.mlp_dim))
         return x2.reshape(b, n, d)
     from ..ops.quant_block import (attn_block_int8_static_ref,
+                                   attn_block_int8s_static_ref,
                                    mlp_block_int8_static_ref)
-    x = attn_block_int8_static_ref(
-        x, blk["inv_ao"][0], blk["ln1_scale"], blk["ln1_bias"],
-        blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"], blk["wo_q"],
-        blk["wo_s"], blk["bo"], cfg.num_heads, eps=cfg.ln_eps,
-        n_valid=n_valid)
+    if int8s:
+        x = attn_block_int8s_static_ref(
+            x, blk["sc_qk"][0], blk["pv_fold"][0], blk["ln1_scale"],
+            blk["ln1_bias"], blk["wqkv_q"], blk["wqkv_qs"],
+            blk["bqkv_qs"], blk["wo_q"], blk["wo_s"], blk["bo"],
+            cfg.num_heads, eps=cfg.ln_eps, n_valid=n_valid)
+    else:
+        x = attn_block_int8_static_ref(
+            x, blk["inv_ao"][0], blk["ln1_scale"], blk["ln1_bias"],
+            blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"], blk["wo_q"],
+            blk["wo_s"], blk["bo"], cfg.num_heads, eps=cfg.ln_eps,
+            n_valid=n_valid)
     t = mlp_block_int8_static_ref(
         x.reshape(b * n, d), blk["inv_ah"][0], blk["ln2_scale"],
         blk["ln2_bias"], blk["w1_q"], blk["w1_s"], blk["b1"],

@@ -293,6 +293,72 @@ def _mha_loop(x, qkv_ref, scores_ref, ao_ref, *, imgs: int, n_pad: int,
                     qkv_ref[b, :n_pad, h * dh:(h + 2) * dh] = pv
 
 
+def _mha_loop_int8s(qkv_ref, scores_ref, ao_ref, sc_qk, pv_fold, *,
+                    imgs: int, n_pad: int, kv_pad: int, n_heads: int,
+                    dh: int, n_sc: int, scale: float, n_valid: int):
+    """Pair-packed MHA over an INT8 q/k/v panel — static-scale int8
+    scores (round 5b).  QK^T and PV run on the int8 MXU at 2x the bf16
+    rate; all dequants are SCALARS (``sc_qk`` = s_q*s_k, multiplied by
+    1/sqrt(dh) here; ``pv_fold`` = s_p*s_v/s_ao so the attention output
+    lands directly in the out-projection's quant domain).  p is
+    normalized BEFORE quantization (p = e*r in [0, 1]), so the fixed
+    127 p-scale needs no reduce — the lever that made dynamic int8
+    scores a measured loss (experiments/perf_attn_int8scores.py) was
+    exactly the per-row/per-column quant work static calibration
+    deletes.  dh must be 64 with an even head count (pair packing)."""
+    d = n_heads * dh
+    dw = 2 * dh
+    sdq = sc_qk * jnp.float32(scale)
+    lanei = jax.lax.broadcasted_iota(jnp.int32, (kv_pad, dw), 1) // dh
+    lane_kv = jax.lax.broadcasted_iota(
+        jnp.int32, (n_pad, 2 * kv_pad), 1) < kv_pad
+    if n_valid < kv_pad:
+        coli = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 2 * kv_pad), 1)
+        colbias = jnp.where(coli % kv_pad < n_valid, 0.0, _NEG_INF)
+    else:
+        colbias = None
+    zero = jnp.int8(0)
+    for b in range(imgs):
+        for g in range(0, n_heads, n_sc):
+            npair = (min(g + n_sc, n_heads) - g) // 2
+            for sl in range(npair):
+                h = g + 2 * sl
+                q2 = qkv_ref[b, :n_pad, h * dh:(h + 2) * dh]
+                ks = qkv_ref[b, :, d + h * dh:d + (h + 2) * dh]
+                kbd = jnp.concatenate(
+                    [jnp.where(lanei == 0, ks, zero),
+                     jnp.where(lanei == 1, ks, zero)], axis=0)
+                scores_ref[sl] = jax.lax.dot_general(
+                    q2, kbd, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+            for sl in range(npair):
+                h = g + 2 * sl
+                s = scores_ref[sl] * sdq
+                s = jnp.clip(s, _EXP_LO, _EXP_HI)
+                if colbias is not None:
+                    s = s + colbias
+                e = jnp.exp(s)
+                r0 = jax.lax.reciprocal(
+                    jnp.sum(e[:, :kv_pad], axis=-1, keepdims=True))
+                r1 = jax.lax.reciprocal(
+                    jnp.sum(e[:, kv_pad:], axis=-1, keepdims=True))
+                # normalized-then-quantized probabilities: p = e*r <= 1
+                pq = jnp.clip(
+                    jnp.rint(e * (127.0 * jnp.where(lane_kv, r0, r1))),
+                    0.0, 127.0).astype(jnp.int8)
+                vs = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 2) * dh]
+                vbd = jnp.concatenate(
+                    [jnp.where(lanei == 0, vs, zero),
+                     jnp.where(lanei == 1, vs, zero)], axis=0)
+                pv = jax.lax.dot_general(
+                    pq, vbd, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                ao_ref[b * n_pad:(b + 1) * n_pad,
+                       h * dh:(h + 2) * dh] = (
+                    pv.astype(jnp.float32) * pv_fold).astype(ao_ref.dtype)
+
+
 def _attn_block_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wo_ref,
                        bo_ref, o_ref, qkv_ref, scores_ref, *maybe_ao,
                        eps: float, scale: float, n_valid: int, n_pad: int,

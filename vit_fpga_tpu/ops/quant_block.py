@@ -818,6 +818,175 @@ def attn_block_int8_static(x, inv_ao, ln_scale, ln_bias, wqkvq, wqkvs,
     return out[:, :n, :]
 
 
+def _attn_int8s_static_kernel(sqk_ref, pvf_ref, x_ref, ls_ref, lb_ref,
+                              wqkv_ref, sqkv_ref, bqkv_ref, wo_ref,
+                              so_ref, bo_ref, o_ref, qkv_ref, scores_ref,
+                              ao_ref, *, eps: float, scale: float,
+                              n_valid: int, n_pad: int, kv_pad: int,
+                              n_heads: int, dh: int, n_sc: int,
+                              imgs: int):
+    """Static-scale attention half with INT8 SCORES (round 5b): the
+    q/k/v panel is emitted straight in the quant domain (sqkv/bqkv carry
+    the per-third 1/s_q,1/s_k,1/s_v on top of the a_x1 fold), so QK^T
+    and PV run on the int8 MXU; _mha_loop_int8s dequants with the two
+    scalars and lands ao in the out-projection's quant domain."""
+    from .attn_block import _mha_loop_int8s
+    d = n_heads * dh
+    x = x_ref[:].reshape(imgs * n_pad, d)
+
+    xn = _ln_f32(x, ls_ref, lb_ref, eps)
+    xq = _rint_i8(xn)
+    for b in range(imgs):
+        r0, r1 = b * n_pad, (b + 1) * n_pad
+        acc = jax.lax.dot_general(xq[r0:r1], wqkv_ref[:],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        qkv_b = _rint_i8(acc.astype(jnp.float32) * sqkv_ref[0]
+                         + bqkv_ref[0])
+        if kv_pad != n_pad:
+            qkv_ref[b, :n_pad] = qkv_b
+            qkv_ref[b, n_pad:] = jnp.zeros((kv_pad - n_pad, 3 * d),
+                                           jnp.int8)
+        else:
+            qkv_ref[b] = qkv_b
+
+    _mha_loop_int8s(qkv_ref, scores_ref, ao_ref, sqk_ref[0, 0],
+                    pvf_ref[0, 0], imgs=imgs, n_pad=n_pad, kv_pad=kv_pad,
+                    n_heads=n_heads, dh=dh, n_sc=n_sc, scale=scale,
+                    n_valid=n_valid)
+
+    aoq = _rint_i8(ao_ref[:].astype(jnp.float32))
+    acc_o = jax.lax.dot_general(aoq, wo_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    y = acc_o.astype(jnp.float32) * so_ref[0] + bo_ref[0]
+    o_ref[:] = (x + y.astype(x.dtype)).reshape(imgs, n_pad, d)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "n_valid",
+                                             "interpret"))
+def attn_block_int8_static_scores(x, sc_qk, pv_fold, ln_scale, ln_bias,
+                                  wqkvq, wqkv_qs, bqkv_qs, woq, wos, bo,
+                                  num_heads: int, eps: float = 1e-6,
+                                  n_valid: int | None = None,
+                                  interpret: bool = False):
+    """Static-scale int8 attention half with int8 score/PV GEMMs.
+    ``wqkv_qs``/``bqkv_qs`` are the quant-domain panel scales from
+    models/quantized._fold_static_scales; ``sc_qk``/``pv_fold`` the
+    per-layer scalar dequants.  Requires dh == 64 with an even head
+    count (the pair-packed geometry)."""
+    b, n, d = x.shape
+    dh = d // num_heads
+    if dh != 64 or num_heads % 2:
+        raise ValueError("int8-scores path requires dh=64, even heads")
+    if n_valid is None:
+        n_valid = n
+    sub = pad_sublane(x.dtype)
+    n_pad = round_up(n, sub)
+    kv_pad = round_up(n, LANE)
+    if n_pad != n:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+    imgs, n_sc, reuse_q, vmem_limit = score_slots_int8(
+        num_heads, d, n_pad, kv_pad, batch=b)
+    if n_sc < 2:
+        raise ValueError(f"attn_block_int8_static_scores does not fit "
+                         f"VMEM at d={d}, seq={n}")
+    n_sc -= n_sc % 2
+
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_int8s_static_kernel, eps=eps,
+                          scale=1.0 / (dh ** 0.5), n_valid=min(n_valid, n),
+                          n_pad=n_pad, kv_pad=kv_pad, n_heads=num_heads,
+                          dh=dh, n_sc=n_sc, imgs=imgs),
+        grid=(b // imgs,),
+        in_specs=[
+            smem, smem,
+            pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, d)), const((1, d)),
+            const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
+            const((d, d)), const((1, d)), const((1, d)),
+        ],
+        out_specs=pl.BlockSpec((imgs, n_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((imgs, kv_pad, 3 * d), jnp.int8),
+            pltpu.VMEM((n_sc // 2, n_pad, 2 * kv_pad), jnp.float32),
+            # f32 ao: quant-domain magnitudes (up to ~127) would lose
+            # low bits in bf16 and drift the rint vs the f32 reference
+            pltpu.VMEM((imgs * n_pad, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_pad * d * (3 * d + d)
+            + 4 * b * num_heads * n_pad * kv_pad * dh,
+            bytes_accessed=2 * b * n_pad * d * x.dtype.itemsize
+            + 4 * d * d,
+            transcendentals=b * num_heads * n_pad * kv_pad),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            **({"vmem_limit_bytes": vmem_limit} if vmem_limit else {})),
+        interpret=interpret,
+    )(jnp.asarray(sc_qk, jnp.float32).reshape(1, 1),
+      jnp.asarray(pv_fold, jnp.float32).reshape(1, 1),
+      x, ln_scale.reshape(1, -1).astype(jnp.float32),
+      ln_bias.reshape(1, -1).astype(jnp.float32),
+      wqkvq, wqkv_qs.reshape(1, -1).astype(jnp.float32),
+      bqkv_qs.reshape(1, -1).astype(jnp.float32),
+      woq, wos.reshape(1, -1).astype(jnp.float32),
+      bo.reshape(1, -1).astype(jnp.float32))
+    return out[:, :n, :]
+
+
+def attn_block_int8s_static_ref(x, sc_qk, pv_fold, ln_scale, ln_bias,
+                                wqkvq, wqkv_qs, bqkv_qs, woq, wos, bo,
+                                num_heads: int, eps: float = 1e-6,
+                                n_valid: int | None = None):
+    """Reference semantics of the int8-scores static path (jnp, any
+    backend): int8 panel, scalar score dequant, normalized-then-
+    quantized probabilities at the fixed 127 scale."""
+    b, n, d = x.shape
+    nh = num_heads
+    dh = d // nh
+    scale = 1.0 / (dh ** 0.5)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+    xq = _rint_i8(xn)
+    acc = jax.lax.dot_general(xq.reshape(b * n, d), wqkvq,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    qkv_q = _rint_i8(acc.astype(jnp.float32) * wqkv_qs
+                     + bqkv_qs).reshape(b, n, 3 * d)
+    q = qkv_q[..., :d].reshape(b, n, nh, dh)
+    k = qkv_q[..., d:2 * d].reshape(b, n, nh, dh)
+    v = qkv_q[..., 2 * d:].reshape(b, n, nh, dh)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.int32),
+                   k.astype(jnp.int32)).astype(jnp.float32)
+    s = s * (jnp.float32(sc_qk) * scale)
+    s = jnp.clip(s, -70.0, 80.0)
+    if n_valid is not None and n_valid < n:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = jnp.where(col < n_valid, s, -1e30)
+    e = jnp.exp(s)
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+    pq = jnp.clip(jnp.rint(e * (127.0 * r)), 0.0, 127.0)
+    pv = jnp.einsum("bhqk,bkhd->bqhd", pq.astype(jnp.int32),
+                    v.astype(jnp.int32)).astype(jnp.float32)
+    ao = (pv * jnp.float32(pv_fold)).reshape(b, n, d)
+    aoq = _rint_i8(ao)
+    acc_o = jax.lax.dot_general(aoq.reshape(b * n, d), woq,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    y = acc_o.astype(jnp.float32) * wos + bo
+    return x + y.reshape(b, n, d).astype(x.dtype)
+
+
 def attn_block_int8_static_ref(x, inv_ao, ln_scale, ln_bias, wqkvq, wqkvs,
                                bqkv, woq, wos, bo, num_heads: int,
                                eps: float = 1e-6,

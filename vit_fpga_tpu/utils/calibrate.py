@@ -167,6 +167,9 @@ def activation_absmax_stats(params: Dict[str, Any], images: jax.Array,
     calibration batch, exact XLA math (any backend):
 
       a_x1  post-LN1 tokens  (QKV projection input)
+      a_q   query activations (int8 score GEMM input, round 5)
+      a_k   key activations   (int8 score GEMM input, round 5)
+      a_v   value activations (int8 PV GEMM input, round 5)
       a_ao  attention output (out-projection input)
       a_x2  post-LN2 tokens  (MLP up-projection input)
       a_h   post-activation MLP hidden (down-projection input)
@@ -216,7 +219,8 @@ def activation_absmax_stats(params: Dict[str, Any], images: jax.Array,
                     params["ln_pre_bias"]).astype(dt)
 
         n = x.shape[1]
-        stats = {"a_x1": [], "a_ao": [], "a_x2": [], "a_h": []}
+        stats = {"a_x1": [], "a_q": [], "a_k": [], "a_v": [],
+                 "a_ao": [], "a_x2": [], "a_h": []}
         for i in range(cfg.depth):
             blk = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
             xn1 = _ln(x, blk["ln1_scale"], blk["ln1_bias"])
@@ -224,6 +228,10 @@ def activation_absmax_stats(params: Dict[str, Any], images: jax.Array,
             qkv = (jnp.dot(xn1.astype(dt), blk["wqkv"].astype(dt),
                            preferred_element_type=jnp.float32)
                    + blk["bqkv"]).astype(dt)
+            qf = qkv.astype(jnp.float32)
+            stats["a_q"].append(jnp.max(jnp.abs(qf[..., :d])))
+            stats["a_k"].append(jnp.max(jnp.abs(qf[..., d:2 * d])))
+            stats["a_v"].append(jnp.max(jnp.abs(qf[..., 2 * d:])))
             o = mha_qkv_xla(qkv, nh).astype(jnp.float32)
             stats["a_ao"].append(jnp.max(jnp.abs(o)))
             x = x + (jnp.dot(o.astype(dt), blk["wo"].astype(dt),
