@@ -179,6 +179,12 @@ def run(opts):
             def fwd(p, x):  # noqa: F811
                 return _q.vit_forward_int8_latency(p, x, cfg)
 
+    if mode == "latency" and dtype == "int8" and is_clip:
+        from vit_fpga_tpu.models import quantized as _q
+        if _q.clip_int8_latency_supported(cfg, batch):
+            def fwd(p, x):  # noqa: F811
+                return _q.clip_forward_int8_latency(p, x, cfg)
+
     if mode == "latency" and dtype == "bfloat16":
         # single-launch whole-encoder kernel (layers on the grid,
         # weights double-buffered per layer)

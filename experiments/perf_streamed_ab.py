@@ -12,6 +12,11 @@ weight streaming could plausibly win:
   B  ViT-L/16@384 batch-1 MLP (the b1 stack's per-layer weight stream):
      XLA vs streamed composition at 584 rows.
 
+First run found the original single-cell kernel cannot even FIT these
+production shapes (x + out + f32 acc + 2 slots all VMEM-resident ->
+compile OOM); the round-5 tiled version adds a (rows, cols) grid so the
+A/B is fair.
+
 Run: python experiments/perf_streamed_ab.py
 """
 import os
@@ -21,8 +26,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +44,10 @@ def gelu_fma(h):
     return hh + hh * jnp.tanh(u)
 
 
-def make_cases(t, d, m, tag):
+def make_cases(t, d, m, tag, tiles, n_lo=4, n_hi=12):
+    """``tiles`` = ((bk1, bt1, bn1), (bk2, bt2, bn2)) VMEM-fitting grid
+    tiles for the two streamed GEMMs (x row tile + f32 acc + out tile +
+    2 DMA slots must fit ~16 MB)."""
     key = jax.random.key(0)
     ks = jax.random.split(key, 5)
     x = jax.device_put(jax.random.normal(
@@ -54,6 +60,7 @@ def make_cases(t, d, m, tag):
     w2 = jax.device_put(jax.random.normal(
         ks[2], (m, d), jnp.float32).astype(jnp.bfloat16) * 0.02)
     b2 = jnp.zeros((d,), jnp.float32)
+    (bk1, bt1, bn1), (bk2, bt2, bn2) = tiles
 
     def mlp_xla(w1, w2, x):
         return jnp.sum(fused_mlp_xla(x, ls, lb, w1, b1, w2, b2,
@@ -65,9 +72,11 @@ def make_cases(t, d, m, tag):
         var = jnp.var(xf, axis=-1, keepdims=True)
         xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * ls
               + lb).astype(x.dtype)
-        h = streamed_gemm(xn, w1, bk=512).astype(jnp.float32) + b1
+        h = streamed_gemm(xn, w1, bk=bk1, bt=bt1,
+                          bn=bn1).astype(jnp.float32) + b1
         h = gelu_fma(h).astype(x.dtype)
-        y = streamed_gemm(h, w2, bk=512).astype(jnp.float32) + b2
+        y = streamed_gemm(h, w2, bk=bk2, bt=bt2,
+                          bn=bn2).astype(jnp.float32) + b2
         return jnp.sum(x.astype(jnp.float32) + y)
 
     def mlp_chunked(w1, w2, x):
@@ -81,15 +90,20 @@ def make_cases(t, d, m, tag):
         row = []
         for name, fn in cases:
             try:
-                tt = time_device_loop(fn, (w1, w2, x), n_lo=4, n_hi=12)
+                tt = time_device_loop(fn, (w1, w2, x), n_lo=n_lo,
+                                      n_hi=n_hi)
                 row.append(f"{name} {tt * 1e6:9.1f} us")
             except Exception as e:  # noqa: BLE001
                 row.append(f"{name} FAIL {type(e).__name__}")
         print(f"{tag} round {r}: " + "  |  ".join(row), flush=True)
 
 
-# A: ViT-H b32 MLP geometry (n=257 -> n_pad 264; rows = 32*264)
-make_cases(32 * 264, 1280, 5120, "A vit-h b32 mlp")
-# B: ViT-L@384 batch-1 MLP (n=577 -> n_pad 584)
-make_cases(584, 1024, 4096, "B vit-l384 b1 mlp")
-_ = functools
+# A: ViT-H b32 MLP geometry (n=257 -> n_pad 264; rows = 32*264).
+# GEMM1 (8448,1280)@(1280,5120); GEMM2 (8448,5120)@(5120,1280).
+make_cases(32 * 264, 1280, 5120, "A vit-h b32 mlp",
+           tiles=((256, 1056, 640), (512, 528, 640)))
+# B: ViT-L/16@384 batch-1 MLP (n=577 -> n_pad 584) — tiny signal, so
+# longer chains for a stable slope.
+make_cases(584, 1024, 4096, "B vit-l384 b1 mlp",
+           tiles=((512, 584, 1024), (512, 584, 1024)),
+           n_lo=16, n_hi=64)

@@ -235,3 +235,32 @@ def test_static_latency_path_dispatches():
     qp = quantized.quantize_vit_static(params, cfg)
     prep = quantized.prep_int8_latency(qp, cfg)
     assert "inv_ao" in prep["blocks"]
+
+
+def test_clip_int8_latency_matches_fast(monkeypatch):
+    """clip_forward_int8_latency (single-launch stack, round 5) ==
+    clip_forward_int8_fast on the same tree, static AND dynamic — the
+    stack kernel and the per-block kernels must describe the same
+    quantization function."""
+    import functools
+    import vit_fpga_tpu.ops.vit_stack as vs
+    from vit_fpga_tpu.models import clip
+    for name in ("vit_layers_int8_pallas", "vit_layers_int8_static_pallas"):
+        orig = getattr(vs, name)
+        monkeypatch.setattr(vs, name,
+                            functools.partial(orig, interpret=True))
+    cfg = clip.clip_vision_config("vit_b32", image_size=64,
+                                  dtype="float32", attn_impl="xla")
+    params = clip.init_params(jax.random.key(6), cfg, projection_dim=64)
+    rng = np.random.default_rng(12)
+    images = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    for qp in (quantized.quantize_clip_vision_static(params, cfg),
+               quantized.quantize_clip_vision_fast(params)):
+        assert quantized.clip_int8_latency_supported(cfg, 2)
+        ref = np.asarray(
+            quantized.clip_forward_int8_fast(qp, images, cfg), np.float32)
+        got = np.asarray(
+            quantized.clip_forward_int8_latency(qp, images, cfg),
+            np.float32)
+        scale = np.abs(ref).max() + 1e-6
+        assert np.abs(got - ref).max() / scale < 0.06

@@ -98,6 +98,14 @@ def test_streamed_gemm_on_hw():
     ref = np.asarray(jnp.dot(x, w))
     out = np.asarray(streamed_gemm(x, w, bk=256))
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+    # round-5 tiled grid: production-size shapes the single-cell layout
+    # could not fit (L@384 b1 MLP up-projection)
+    x2 = jnp.asarray(rng.normal(size=(584, 1024)), jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(size=(1024, 4096)), jnp.bfloat16)
+    ref2 = np.asarray(jnp.dot(x2, w2, preferred_element_type=jnp.float32))
+    out2 = np.asarray(streamed_gemm(x2, w2, bk=512, bt=584,
+                                    bn=1024)).astype(np.float32)
+    np.testing.assert_allclose(out2, ref2, rtol=2e-2, atol=2e-2)
 
 
 def test_flash_attention_on_hw():

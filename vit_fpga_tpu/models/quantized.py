@@ -780,6 +780,53 @@ def clip_forward_int8_fast(qparams: Params, images: jax.Array,
     return pooled.astype(jnp.float32) @ qparams["proj"]
 
 
+def clip_int8_latency_supported(cfg: vit_mod.ViTConfig,
+                                batch: int) -> bool:
+    """Gate for :func:`clip_forward_int8_latency` (single-launch int8
+    stack at CLIP geometry)."""
+    return int8_latency_supported(cfg, batch)
+
+
+def clip_forward_int8_latency(qparams: Params, images: jax.Array,
+                              cfg: vit_mod.ViTConfig) -> jax.Array:
+    """Small-batch int8 CLIP image encoder through the single-launch
+    stack (see vit_forward_int8_latency): int8 weights HALVE the
+    per-layer weight stream the batch-1 path waits on.  ``qparams`` is
+    the quantize_clip_vision_fast or quantize_clip_vision_static tree;
+    embed + ln_pre + final LN + projection stay outside the kernel,
+    like models/clip.forward_latency."""
+    from ..ops.common import pad_sublane, round_up
+    from ..ops.patch_embed import embed_tokens_dotg
+    from ..ops.vit_stack import (vit_layers_int8_pallas,
+                                 vit_layers_int8_static_pallas)
+    dt = jnp.bfloat16
+    pe = qparams["patch_embed"]
+    pos = qparams["pos_embed"][0].astype(jnp.float32)
+    pre = qparams["cls_token"][0].astype(jnp.float32)
+    posb = jnp.concatenate([pre + pos[:1],
+                            pos[1:] + pe["b"].astype(jnp.float32)], axis=0)
+    wp = (pe["wq"].astype(jnp.float32)
+          * pe["ws"].astype(jnp.float32)).astype(dt)
+    x = embed_tokens_dotg(images.astype(dt), wp, posb, cfg.patch_size, 1)
+    x = vit_mod._layernorm(x, qparams["ln_pre_scale"],
+                           qparams["ln_pre_bias"], cfg.ln_eps)
+    n = cfg.seq_len
+    n_pad = round_up(n, pad_sublane(dt))
+    if n_pad != n:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, 0)])
+    act = "quick_gelu" if cfg.hidden_act == "quick_gelu" else "gelu_tanh"
+    if "inv_ao" in qparams["blocks"]:   # calibrated static-scale tree
+        toks = vit_layers_int8_static_pallas(x, qparams["blocks"],
+                                             cfg.num_heads, eps=cfg.ln_eps,
+                                             act=act, n_valid=n)
+    else:
+        toks = vit_layers_int8_pallas(x, qparams["blocks"], cfg.num_heads,
+                                      eps=cfg.ln_eps, act=act, n_valid=n)
+    pooled = vit_mod._layernorm(toks[:, :1], qparams["ln_f_scale"],
+                                qparams["ln_f_bias"], cfg.ln_eps)[:, 0]
+    return pooled.astype(jnp.float32) @ qparams["proj"]
+
+
 # ---------------------------------------------------------------------------
 # Serving entries: raw uint8 -> logits/embeddings, one XLA program.
 #

@@ -6,12 +6,15 @@ keep the weight matrix in HBM and stream K-tiles into VMEM with a
 two-slot DMA pipeline so the copy of tile k+1 overlaps the MXU work on
 tile k (pallas_guide.md "Patterns: Double Buffering").
 
-This kernel demonstrates the pattern explicitly with manual
-``make_async_copy`` DMAs: x stays VMEM-resident, W streams through two
-(bk, N) VMEM slots.  Parity-tested against jnp.dot; the automatic-pipeline
-variants in fused_mlp.py/quant.py get the same effect from Mosaic's
-revolving block buffers, so this is both a teaching kernel and the
-fallback for weight shapes too large for block-resident scheduling.
+This kernel implements the pattern explicitly with manual
+``make_async_copy`` DMAs: a (bt, K) row tile of x sits VMEM-resident
+while the matching (K, bn) column panel of W streams through two
+(bk, bn) VMEM slots; a (rows, cols) grid covers any geometry.  Parity-
+tested against jnp.dot (interpret + hardware).  The production MLP /
+attention kernels get the same effect from Mosaic's revolving block
+buffers — the round-5 A/B (experiments/perf_streamed_ab.py, recorded in
+docs/perf.md) measured Mosaic's pipeline ahead at every production
+shape, so this stays the explicit-DMA record/fallback, not a call site.
 """
 
 from __future__ import annotations
@@ -27,14 +30,15 @@ from .common import round_up
 
 
 def _streamed_kernel(x_ref, w_hbm, o_ref, w_slots, sems, acc, *,
-                     k_steps: int, bk: int):
-    """x_ref: (T, K) VMEM; w_hbm: (K, N) in HBM/ANY; o_ref: (T, N).
+                     k_steps: int, bk: int, bn: int):
+    """x_ref: (bt, K) VMEM row tile; w_hbm: full (K, N) in HBM/ANY;
+    o_ref: (bt, bn) out tile.  Two-slot double buffer over K: start the
+    DMA for K-tile k+1, wait tile k, MAC."""
+    j = pl.program_id(1)
 
-    Two-slot double buffer: start DMA for tile k+1, wait tile k, MAC.
-    """
     def dma(slot, k_idx):
         return pltpu.make_async_copy(
-            w_hbm.at[pl.ds(k_idx * bk, bk), :],
+            w_hbm.at[pl.ds(k_idx * bk, bk), pl.ds(j * bn, bn)],
             w_slots.at[slot],
             sems.at[slot])
 
@@ -59,36 +63,51 @@ def _streamed_kernel(x_ref, w_hbm, o_ref, w_slots, sems, acc, *,
     o_ref[:] = acc[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bk", "bt", "bn", "interpret"))
 def streamed_gemm(x: jax.Array, w: jax.Array, bk: int = 512,
+                  bt: int | None = None, bn: int | None = None,
                   interpret: bool = False) -> jax.Array:
-    """(T, K) @ (K, N) with W streamed HBM->VMEM, double-buffered."""
+    """(T, K) @ (K, N) with W streamed HBM->VMEM, double-buffered.
+
+    ``bk``: K-tile depth of each DMA; ``bt``/``bn``: row/column tile of
+    the output grid (default: whole T / whole N, i.e. the original
+    single-cell layout when it fits VMEM)."""
     t, k = x.shape
     k2, n = w.shape
     assert k == k2
+    bt = t if bt is None else min(bt, t)
+    bn = n if bn is None else min(bn, n)
     kp = round_up(k, bk)
-    if kp != k:
-        x = jnp.pad(x, ((0, 0), (0, kp - k)))
-        w = jnp.pad(w, ((0, kp - k), (0, 0)))
+    tp = round_up(t, bt)
+    np_ = round_up(n, bn)
+    if kp != k or tp != t:
+        x = jnp.pad(x, ((0, tp - t), (0, kp - k)))
+    if kp != k or np_ != n:
+        w = jnp.pad(w, ((0, kp - k), (0, np_ - n)))
     k_steps = kp // bk
 
-    return pl.pallas_call(
-        functools.partial(_streamed_kernel, k_steps=k_steps, bk=bk),
+    out = pl.pallas_call(
+        functools.partial(_streamed_kernel, k_steps=k_steps, bk=bk, bn=bn),
+        grid=(tp // bt, np_ // bn),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),      # W stays in HBM
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+        out_specs=pl.BlockSpec((bt, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, np_), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, bk, n), x.dtype),
+            pltpu.VMEM((2, bk, bn), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((t, n), jnp.float32),
+            pltpu.VMEM((bt, bn), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * t * kp * n,
-            bytes_accessed=(t * kp + kp * n + t * n) * x.dtype.itemsize,
+            flops=2 * tp * kp * np_,
+            bytes_accessed=(tp * kp + kp * np_ + tp * np_)
+            * x.dtype.itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(x, w)
+    return out[:t, :n]
