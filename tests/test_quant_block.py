@@ -111,9 +111,38 @@ def test_mlp_block_t_tiering_pinned():
     (ADVICE r4): 640 at ViT-B b64 geometry, 256 at batch-1 row counts
     and at CLIP-L/ViT-L weight footprints, and conservative fallback at
     untested mid geometries near the VMEM cutoff."""
-    from vit_fpga_tpu.ops.quant_block import mlp_block_t
+    from vit_fpga_tpu.ops.quant_block import mlp_block_t, mlp_plan_int8
     assert mlp_block_t(12800, 768, 3072) == 640     # ViT-B b64 (200*64)
     assert mlp_block_t(200, 768, 3072) == 256       # ViT-B batch-1
     assert mlp_block_t(67584, 1024, 4096) == 256    # CLIP-L b256 (264*256)
     assert mlp_block_t(9248, 1024, 4096) == 256     # ViT-L@384 b16
     assert mlp_block_t(12800, 896, 3584) == 256     # untested mid geometry
+    # default-plan geometries pass through mlp_block_t with no override
+    assert mlp_plan_int8(12800, 768, 3072) == (640, 0)
+    assert mlp_plan_int8(67584, 1024, 4096) == (256, 0)
+    # ViT-H (12.5 MB int8 weights) engages the raised plan (round 5)
+    bt, vmem = mlp_plan_int8(32 * 264, 1280, 5120)
+    assert bt > 0 and vmem == qb.MLP_INT8_BIG_VMEM
+    # absurd geometry: nothing fits even raised -> per-linear fallback
+    assert mlp_plan_int8(1024, 4096, 16384) == (0, 0)
+
+def test_attn_plan_raised_cap_near_default():
+    """Fast-tier attention plans whose tile-model estimate sits near the
+    16 MB default scoped-VMEM plan carry a RAISED enforcement cap:
+    Mosaic's true stack demand varies with the grid count (ViT-H int8
+    compiles at grid=32 but asks 18.77 MB at grid=4 — found by a
+    batch-4 end-to-end drive, round 5), so small-batch dispatch must
+    not compile-OOM on a geometry the model accepts.  Tier decisions
+    (imgs, n_sc, reuse_q) are unchanged by the cap."""
+    from vit_fpga_tpu.ops.attn_block import attn_plan
+    # ViT-H int8: near-edge fast tier -> cap raised, same tier
+    for batch in (4, 32):
+        imgs, n_sc, reuse_q, vmem = qb.score_slots_int8(
+            16, 1280, 264, 384, batch=batch)
+        assert (imgs, n_sc, reuse_q) == (1, 1, False)
+        assert vmem > 16 * 1024 * 1024
+    # CLIP-L int8 fast tier is near-edge too (est ~12.7 MiB)
+    assert qb.score_slots_int8(16, 1024, 264, 384, batch=4)[3] > 0
+    # comfortable geometries keep the default plan (cap 0)
+    p = attn_plan(12, 768, 208, 256, itemsize=2, batch=1)
+    assert (p.imgs, p.reuse_q, p.vmem_limit) == (1, False, 0)

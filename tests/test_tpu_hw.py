@@ -108,6 +108,37 @@ def test_streamed_gemm_on_hw():
     np.testing.assert_allclose(out2, ref2, rtol=2e-2, atol=2e-2)
 
 
+def test_int8_mlp_raised_vmem_on_hw():
+    """ViT-H-size int8 MLP weights (12.5 MB > the 11 MB default-plan
+    gate) under the round-5 raised scoped-VMEM plan: compiles and
+    matches the jnp reference.  The per-linear fallback provably
+    compile-OOMs at this geometry (experiments/perf_vith_int8.py)."""
+    import jax.numpy as jnp
+    from vit_fpga_tpu.ops.quant_block import (MLP_INT8_BIG_VMEM,
+                                              mlp_block_int8,
+                                              mlp_block_int8_ref,
+                                              mlp_plan_int8)
+    from vit_fpga_tpu.ops.quant_fused import quantize_weight_colwise
+    rng = np.random.default_rng(12)
+    t, d, m = 512, 1280, 5120
+    bt, vmem = mlp_plan_int8(t, d, m)
+    assert bt > 0 and vmem == MLP_INT8_BIG_VMEM
+    x = jnp.asarray(rng.normal(size=(t, d)), jnp.bfloat16)
+    ls = jnp.asarray(rng.normal(size=(d,)) * 0.1 + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    w1q, w1s = quantize_weight_colwise(rng.normal(size=(d, m)) * 0.05)
+    w2q, w2s = quantize_weight_colwise(rng.normal(size=(m, d)) * 0.05)
+    b1 = jnp.asarray(rng.normal(size=(m,)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(d,)) * 0.2, jnp.float32)
+    args = (x, ls, lb, jnp.asarray(w1q), jnp.asarray(w1s), b1,
+            jnp.asarray(w2q), jnp.asarray(w2s), b2)
+    ref = np.asarray(mlp_block_int8_ref(*args), np.float32)
+    out = np.asarray(mlp_block_int8(*args, block_t=bt, vmem_limit=vmem),
+                     np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 0.03
+
+
 def test_flash_attention_on_hw():
     import jax.numpy as jnp
     from vit_fpga_tpu.ops.attention import mha_xla

@@ -224,16 +224,19 @@ def _fused_lin(x3d, wq, ws, b, act="none", ln=None, eps=0.0):
 
 
 def _int8_block_fits(cfg: vit_mod.ViTConfig) -> bool:
-    """Both int8 mega-kernels fit VMEM at this geometry?"""
+    """Both int8 mega-kernels fit VMEM at this geometry?  Oversize
+    MLP weights (ViT-H: 12.5 MB int8) run under the raised scoped-VMEM
+    plan (ops/quant_block.mlp_plan_int8) — the gate only fails when
+    nothing fits even raised."""
     from ..ops.common import LANE, pad_sublane, round_up
-    from ..ops.quant_block import score_slots_int8
+    from ..ops.quant_block import mlp_plan_int8, score_slots_int8
     n_pad = round_up(cfg.seq_len, pad_sublane(jnp.bfloat16))
     kv_pad = round_up(cfg.seq_len, LANE)
     _, n_sc, _, _ = score_slots_int8(cfg.num_heads, cfg.hidden_dim,
                                      n_pad, kv_pad)
     attn_ok = n_sc >= 1
-    mlp_ok = 2 * cfg.hidden_dim * cfg.mlp_dim <= 11 * 1024 * 1024
-    return attn_ok and mlp_ok
+    bt, _ = mlp_plan_int8(n_pad, cfg.hidden_dim, cfg.mlp_dim)
+    return attn_ok and bt > 0
 
 
 _INT8_STATS_CHAIN = False   # measured LOSS — see docstring below
@@ -319,16 +322,17 @@ def _qblock_fast(x, blk, cfg: vit_mod.ViTConfig,
         # round-2 path: whole-half int8 mega-kernels — activations never
         # leave VMEM between LN/quant/GEMM/dequant/act stages
         from ..ops.quant_block import (attn_block_int8, mlp_block_int8,
-                                       mlp_block_t)
+                                       mlp_plan_int8)
         x = attn_block_int8(
             x, blk["ln1_scale"], blk["ln1_bias"], blk["wqkv_q"],
             blk["wqkv_s"], blk["bqkv"], blk["wo_q"], blk["wo_s"],
             blk["bo"], cfg.num_heads, eps=cfg.ln_eps, n_valid=n_valid)
+        bt, vmem = mlp_plan_int8(b * n, d, cfg.mlp_dim)
         x2 = mlp_block_int8(
             x.reshape(b * n, d), blk["ln2_scale"], blk["ln2_bias"],
             blk["w1_q"], blk["w1_s"], blk["b1"], blk["w2_q"],
             blk["w2_s"], blk["b2"], eps=cfg.ln_eps, act=act,
-            block_t=mlp_block_t(b * n, d, cfg.mlp_dim))
+            block_t=bt, vmem_limit=vmem)
         return x2.reshape(b, n, d)
     # per-linear fused path (any geometry / backend)
     qkv = _fused_lin(x, blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"],
@@ -467,7 +471,8 @@ def _qblock_static(x, blk, cfg: vit_mod.ViTConfig,
     if jax.default_backend() == "tpu" and _int8_block_fits(cfg):
         from ..ops.quant_block import (attn_block_int8_static,
                                        attn_block_int8_static_scores,
-                                       mlp_block_int8_static, mlp_block_t)
+                                       mlp_block_int8_static,
+                                       mlp_plan_int8)
         if int8s:
             x = attn_block_int8_static_scores(
                 x, blk["sc_qk"], blk["pv_fold"], blk["ln1_scale"],
@@ -480,11 +485,12 @@ def _qblock_static(x, blk, cfg: vit_mod.ViTConfig,
                 blk["wqkv_q"], blk["wqkv_s"], blk["bqkv"], blk["wo_q"],
                 blk["wo_s"], blk["bo"], cfg.num_heads, eps=cfg.ln_eps,
                 n_valid=n_valid)
+        bt, vmem = mlp_plan_int8(b * n, d, cfg.mlp_dim)
         x2 = mlp_block_int8_static(
             x.reshape(b * n, d), blk["inv_ah"], blk["ln2_scale"],
             blk["ln2_bias"], blk["w1_q"], blk["w1_s"], blk["b1"],
             blk["w2_q"], blk["w2_s"], blk["b2"], eps=cfg.ln_eps, act=act,
-            block_t=mlp_block_t(b * n, d, cfg.mlp_dim))
+            block_t=bt, vmem_limit=vmem)
         return x2.reshape(b, n, d)
     from ..ops.quant_block import (attn_block_int8_static_ref,
                                    attn_block_int8s_static_ref,

@@ -126,8 +126,17 @@ def attn_plan(n_heads: int, d: int, n_pad: int, kv_pad: int,
                 return AttnPlan(imgs, min(n_heads, 6), False,
                                 _MULTI_VMEM_BYTES)
     if fixed(1) + slot <= budget:       # fast tier
-        return AttnPlan(1, min(n_heads, (budget - fixed(1)) // slot),
-                        False, 0)
+        n_sc = min(n_heads, (budget - fixed(1)) // slot)
+        # Mosaic's true stack demand can exceed this tile model near the
+        # 16 MB default plan, and it varies with the GRID COUNT: ViT-H
+        # int8 (est. 12.7 MiB) compiles at grid=32 but demands 18.77 MB
+        # at grid=4 (extra in-flight windows at short grids).  The
+        # vmem_limit is enforcement-only — raise it whenever the
+        # estimate is within ~2 MiB of the default so small-batch
+        # dispatch cannot compile-OOM on a kernel the model accepts.
+        vmem = (_MULTI_VMEM_BYTES
+                if fixed(1) + n_sc * slot > 11 * 1024 * 1024 else 0)
+        return AttnPlan(1, n_sc, False, vmem)
     ao1 = n_pad * da * itemsize
     tight = budget + 1024 * 1024
     if fixed(1) - ao1 + slot <= tight:  # tight-eligible geometry

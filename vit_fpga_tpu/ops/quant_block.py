@@ -124,11 +124,37 @@ def mlp_block_t(t: int, d: int, m: int, budget: int = 17 << 20) -> int:
     return 256
 
 
+# Oversize-weight int8 MLPs (ViT-H: 12.5 MB int8 weights > the 11 MB
+# default-plan gate) run under a RAISED scoped-VMEM plan — the same
+# compiler-default-not-hardware fact the bf16 path exploits at 48 MB
+# (ops/fused_mlp.MLP_BIG_VMEM).  The plan budget leaves the measured
+# headroom Mosaic's pipeline buffers need on top of the tile model.
+MLP_INT8_BIG_VMEM = 40 * 1024 * 1024
+
+
+def mlp_plan_int8(t: int, d: int, m: int) -> tuple[int, int]:
+    """(block_t, vmem_limit) for the int8 MLP mega-kernels.  Default-
+    plan geometries keep the measured mlp_block_t tiering with no
+    override; oversize weights (> 11 MB int8) get the largest row tile
+    whose full footprint fits the raised plan, or (0, 0) if nothing
+    fits even raised — callers fall back to the per-linear path."""
+    if 2 * d * m <= 11 * 1024 * 1024:
+        return mlp_block_t(t, d, m), 0
+    budget = MLP_INT8_BIG_VMEM - (4 << 20)   # pipeline-buffer headroom
+    for bt in (512, 384, 256, 128):
+        if 2 * d * m + bt * (5 * m + 5 * d) > budget:
+            continue
+        if round_up(t, bt) - t <= max(t // 50, bt):
+            return bt, MLP_INT8_BIG_VMEM
+    return 0, 0
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
-                                             "interpret"))
+                                             "vmem_limit", "interpret"))
 def mlp_block_int8(x, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2,
                    eps: float = 1e-6, act: str = "gelu_tanh",
-                   block_t: int = 256, interpret: bool = False):
+                   block_t: int = 256, vmem_limit: int = 0,
+                   interpret: bool = False):
     """x: (T, D) bf16 tokens -> x + MLP_int8(LN(x)).  w*q int8 (K, N),
     w*s f32 (N,) column scales."""
     t, d = x.shape
@@ -155,7 +181,8 @@ def mlp_block_int8(x, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2,
             bytes_accessed=2 * tp * d * x.dtype.itemsize + 2 * d * m,
             transcendentals=2 * tp * m),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            **({"vmem_limit_bytes": vmem_limit} if vmem_limit else {})),
         interpret=interpret,
     )(x, ln_scale.reshape(1, -1).astype(jnp.float32),
       ln_bias.reshape(1, -1).astype(jnp.float32),
@@ -630,10 +657,11 @@ def _mlp_int8_static_kernel(qs_ref, x_ref, ls_ref, lb_ref, w1_ref, s1_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "act", "block_t",
-                                             "interpret"))
+                                             "vmem_limit", "interpret"))
 def mlp_block_int8_static(x, inv_ah, ln_scale, ln_bias, w1q, w1s, b1, w2q,
                           w2s, b2, eps: float = 1e-6,
                           act: str = "gelu_tanh", block_t: int = 256,
+                          vmem_limit: int = 0,
                           interpret: bool = False):
     """Static-scale int8 MLP half.  Pre-folded arguments (see
     models/quantized.quantize_vit_static): ``ln_scale``/``ln_bias``
@@ -665,7 +693,8 @@ def mlp_block_int8_static(x, inv_ah, ln_scale, ln_bias, w1q, w1s, b1, w2q,
             bytes_accessed=2 * tp * d * x.dtype.itemsize + 2 * d * m,
             transcendentals=2 * tp * m),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            **({"vmem_limit_bytes": vmem_limit} if vmem_limit else {})),
         interpret=interpret,
     )(jnp.asarray(inv_ah, jnp.float32).reshape(1, 1),
       x, ln_scale.reshape(1, -1).astype(jnp.float32),
