@@ -57,6 +57,20 @@ def main(argv):
         # the reference's defining datapath was fixed-point
         # (/root/reference/def/defines.h:10-12) and its primary metric
         # per-call us latency (/root/reference/src/netFPGA.cpp:262-284).
+        #
+        # If a harness timeout SIGTERMs us mid-extras (7 configs cold-
+        # compile in ~15-25 min through the tunnel), emit the headline +
+        # whatever extras completed instead of dying output-less: a
+        # partial artifact beats an empty one.
+        import signal
+
+        def _emit_and_exit(signum, frame):  # noqa: ARG001
+            result.setdefault("extras", {})["truncated"] = (
+                "SIGTERM during extras; headline + completed extras only")
+            print(json.dumps(result), flush=True)
+            raise SystemExit(0)
+
+        prev_handler = signal.signal(signal.SIGTERM, _emit_and_exit)
         result["extras"] = {}
         for key, extra_argv in (
             ("int8_throughput", ["dtype=int8"]),
@@ -72,6 +86,7 @@ def main(argv):
             except Exception as e:  # noqa: BLE001 — extras never break
                 result["extras"][key] = {"error": f"{type(e).__name__}: "
                                                   f"{e}"}
+        signal.signal(signal.SIGTERM, prev_handler)
     print(json.dumps(result))
 
 
