@@ -88,3 +88,32 @@ def test_bench_sigterm_emits_partial_artifact(monkeypatch, capsys):
     # The first extra completed before the signal; later ones are absent.
     assert "int8_throughput" in data["extras"]
     assert "train" not in data["extras"]
+
+
+def test_bench_extras_cover_all_driver_configs(monkeypatch, capsys):
+    """The driver artifact must record every headline surface: int8
+    dynamic/static throughput, bf16/int8/int8-static b1 latency, train
+    (VERDICT r4 #1 put mode=train in the driver extras — keep it there)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    seen = []
+
+    def fake_run(opts):
+        seen.append(1)
+        if len(seen) == 1:
+            return {"metric": "m", "value": 1.0,
+                    "unit": "images/sec/chip", "vs_baseline": 0.5}
+        return {"metric": f"extra{len(seen)}", "value": 2.0}
+
+    monkeypatch.setattr(bench, "run", fake_run)
+    bench.main([])
+    data = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(data["extras"]) == {
+        "int8_throughput", "int8_static_throughput", "bf16_latency",
+        "int8_latency", "int8_static_latency", "train"}
